@@ -1,0 +1,466 @@
+"""The crawl round loop: frontier -> schedule -> fetch -> extract -> commit.
+
+This is the engine's equivalent of the reference's
+``EnhancedCrawlerManager.process_repositories`` driver
+(``src/enhanced_crawler.py:65-139``) and its two-phase
+discovery/scrape loop (``src/aggressive_pr_scraper.py:153-253``), re-expressed
+as a driver-side ``while`` loop of DataFrame jobs over snapshot tables
+(SURVEY.md §3.2→Spark). Each round:
+
+  1. **Eligibility** (F7/F8/T5/T10): ``state='discovered' AND next_fetch_ts <=
+     now AND (blocked_until IS NULL OR blocked_until <= now)`` — the virtual
+     clock (round k -> t0 + k·Δ) keeps every politeness decision
+     deterministic and parallelism-independent.
+  2. **Robots** (north rule): vectorized pandas UDF per batch.
+  3. **Schedule** (W1/W2/T1): token-bucket budgets joined from host_state,
+     skew-safe salted window rank.
+  4. **Fetch** (S3, simulated): broadcast the (small) scheduled batch against
+     the pages corpus keyed by ``xxhash64(canonical_url)``; a deterministic
+     hash slice of rows fails transiently to exercise T2 backoff and the T4
+     circuit breaker. (The production HTTP path lives in
+     ``operators/fetch.py`` with identical dataflow shape.)
+  5. **Extract** (X1/UDF): byte-identical text + canonical out-links.
+  6. **Discover** (J1/U1/T7): explode out-links -> Bloom-prefiltered anti-join
+     against all known hashes -> new frontier rows with decayed priority.
+  7. **Commit** (S7/S11/S12/T6): append results/seen/metrics, dynamic
+     partition overwrite of only the frontier buckets touched this round,
+     overwrite host_state, then the ``rounds`` lineage row — whose snapshot
+     ids are what :meth:`Crawler.resume` rolls back to, giving exactly-once
+     rounds (vs the reference's at-least-once save-every-10,
+     ``src/pr_checkpoint_manager.py:148-150``).
+
+Termination (A10): ``empty_rounds_stop`` consecutive rounds with no eligible
+URLs (reference k=3, ``src/aggressive_pr_scraper.py:302``) or the round cap
+(L5).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gh_crawler_spark.functions.text import extract_outlinks_udf, extract_text_udf
+from gh_crawler_spark.functions.urls import (
+    canonicalize_url_expr,
+    host_expr,
+    registrable_domain_expr,
+    url_hash_expr,
+)
+from gh_crawler_spark.operators.dedup import PartitionedBloom, bucket_expr, filter_unseen
+from gh_crawler_spark.operators.politeness import (
+    apply_circuit_breaker,
+    backoff_next_fetch_ts,
+    refill_tokens,
+    robots_allowed_udf,
+)
+from gh_crawler_spark.operators.scheduling import rank_fetch_batch
+from gh_crawler_spark.tables import SnapshotTable
+
+EPOCH = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+
+@dataclass
+class CrawlConfig:
+    root: str                      # snapshot-table warehouse dir
+    n_buckets: int = 32            # frontier hash buckets (4096 at 10^10)
+    round_duration_s: float = 30.0 # virtual seconds per round
+    priority_decay: float = 0.9    # child priority = parent · decay
+    default_priority: float = 1.0
+    max_attempts: int = 3          # T2/L6 (reference: 3 attempts)
+    transient_fail_mod: int = 0    # 1/N of fetches fail transiently; 0 = off
+    n_salts: int = 16              # W1 skew salting
+    max_rounds: int = 50           # L5 page-cap analog
+    empty_rounds_stop: int = 3     # A10 (reference k=3)
+    bloom_fpp: float = 0.01
+    bloom_min_keys: int = 10_000   # skip Bloom below this (anti-join alone)
+    token_capacity_s: float = 120.0  # bucket capacity = rate · this
+
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("registrable_domain", T.StringType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("next_fetch_ts", T.TimestampType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("attempt", T.IntegerType()),
+        T.StructField("discovered_round", T.IntegerType()),
+    ]
+)
+
+
+class Crawler:
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig, pages: DataFrame,
+                 robots: DataFrame | None = None):
+        self.spark = spark
+        self.cfg = cfg
+        self.t = {
+            name: SnapshotTable(cfg.root, name)
+            for name in ("frontier", "seen", "results", "host_state", "metrics", "rounds")
+        }
+        # Fetch-simulation index: the pages corpus keyed by canonical-url hash.
+        # Only url/warc_ts/html/lang are read (column pruning keeps `text`,
+        # the oracle column, out of the scan).
+        self.pages_idx = pages.select(
+            url_hash_expr(canonicalize_url_expr(F.col("url"))).alias("url_hash"),
+            F.col("warc_ts"),
+            F.col("html"),
+            F.col("lang"),
+        )
+        self.robots = robots
+
+    # ------------------------------------------------------------------ time
+    def now(self, round_no: int) -> dt.datetime:
+        return EPOCH + dt.timedelta(seconds=round_no * self.cfg.round_duration_s)
+
+    # ------------------------------------------------------------------ init
+    def init_frontier(self, seeds: DataFrame) -> None:
+        """Seeds -> canonical frontier rows; bootstrap all engine tables."""
+        cfg, now0 = self.cfg, self.now(0)
+        canon = canonicalize_url_expr(F.col("url"))
+        fr = (
+            seeds.select(
+                canon.alias("url"),
+                F.coalesce(F.col("priority"), F.lit(cfg.default_priority)).alias("priority"),
+            )
+            .withColumn("url_hash", url_hash_expr(F.col("url")))
+            .withColumn("bucket", bucket_expr(F.col("url_hash"), cfg.n_buckets))
+            .withColumn("host", host_expr(F.col("url")))
+            .withColumn("registrable_domain", registrable_domain_expr(F.col("host")))
+            .withColumn("next_fetch_ts", F.lit(now0))
+            .withColumn("state", F.lit("discovered"))
+            .withColumn("attempt", F.lit(0).cast("int"))
+            .withColumn("discovered_round", F.lit(0).cast("int"))
+            # deterministic dedup of seed duplicates: keep max priority
+            .withColumn("priority", F.max("priority").over(Window.partitionBy("url_hash")))
+            .dropDuplicates(["url_hash"])
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
+        )
+        # Written with partition overwrite so EVERY frontier file is bucketed:
+        # later per-round overwrite_partitions can only replace bucketed files.
+        self.t["frontier"].overwrite_partitions(fr, "bucket", {"op": "init"}, replace_all=True)
+
+        seen0 = self.spark.createDataFrame(
+            [], "url_hash BIGINT, crawl_ts TIMESTAMP"
+        )
+        self.t["seen"].overwrite(seen0, {"op": "init"})
+        res0 = self.spark.createDataFrame(
+            [],
+            "url STRING, url_hash BIGINT, warc_ts TIMESTAMP, status STRING, "
+            "text STRING, lang STRING, round INT",
+        )
+        self.t["results"].overwrite(res0, {"op": "init"})
+
+        # host_state: one row per registrable domain seen so far; rate from
+        # robots crawl_delay (reference analog: 0.1 s/req, src/config.py:81).
+        domains = fr.select("registrable_domain").distinct()
+        hs = self._new_host_rows(domains)
+        self.t["host_state"].overwrite(hs, {"op": "init"})
+
+        m0 = self.spark.createDataFrame(
+            [],
+            "round INT, stage STRING, partition_id INT, urls_fetched BIGINT, "
+            "urls_deduped BIGINT, failures BIGINT, wall_ms BIGINT, snapshot_id BIGINT",
+        )
+        self.t["metrics"].overwrite(m0, {"op": "init"})
+        r0 = self.spark.createDataFrame(
+            [],
+            "round INT, completed BOOLEAN, fetched BIGINT, failed BIGINT, "
+            "discovered BIGINT, eligible BIGINT, wall_ms BIGINT, "
+            "frontier_snap BIGINT, seen_snap BIGINT, results_snap BIGINT, "
+            "host_snap BIGINT, metrics_snap BIGINT",
+        )
+        self.t["rounds"].overwrite(r0, {"op": "init"})
+
+    def _new_host_rows(self, domains: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        if self.robots is not None:
+            joined = domains.join(F.broadcast(self.robots), "registrable_domain", "left")
+        else:
+            joined = domains.withColumn("robots_rules", F.lit(None).cast("string")).withColumn(
+                "crawl_delay_ms", F.lit(100).cast("long")
+            )
+        rate = F.lit(1000.0) / F.coalesce(F.col("crawl_delay_ms"), F.lit(100)).cast("double")
+        return joined.select(
+            "registrable_domain",
+            F.coalesce(F.col("robots_rules"), F.lit("")).alias("robots_rules"),
+            F.coalesce(F.col("crawl_delay_ms"), F.lit(100)).alias("crawl_delay_ms"),
+            (rate * cfg.token_capacity_s).alias("tokens"),
+            rate.alias("refill_rate"),
+            (rate * cfg.token_capacity_s).alias("capacity"),
+            F.lit(None).cast("timestamp").alias("blocked_until"),
+            F.lit(0).cast("int").alias("failure_count"),
+        )
+
+    # ---------------------------------------------------------------- resume
+    def resume_round(self) -> int:
+        """Next round to run; rolls tables back to the last completed round's
+        recorded snapshots (exactly-once semantics, SURVEY.md T6)."""
+        rounds = self.t["rounds"].read(self.spark)
+        last = (
+            rounds.filter(F.col("completed"))
+            .orderBy(F.col("round").desc())
+            .limit(1)
+            .collect()
+        )
+        if not last:
+            return 0
+        row = last[0]
+        for name, col in (
+            ("frontier", "frontier_snap"), ("seen", "seen_snap"),
+            ("results", "results_snap"), ("host_state", "host_snap"),
+            ("metrics", "metrics_snap"),
+        ):
+            if self.t[name].current_snapshot_id() != row[col]:
+                self.t[name].rollback(row[col])
+        return int(row["round"]) + 1
+
+    # ----------------------------------------------------------------- round
+    def run_round(self, k: int) -> dict:
+        cfg, spark = self.cfg, self.spark
+        now = self.now(k)
+        now_lit = F.lit(now)
+        t_start = time.monotonic()
+
+        frontier = self.t["frontier"].read(spark)
+        host_state = self.t["host_state"].read(spark)
+
+        # 1-2. eligibility + politeness gates ------------------------------
+        elig = (
+            frontier.filter((F.col("state") == "discovered") & (F.col("next_fetch_ts") <= now_lit))
+            .join(F.broadcast(host_state), "registrable_domain", "left")
+            .filter(F.col("blocked_until").isNull() | (F.col("blocked_until") <= now_lit))
+            .filter(robots_allowed_udf(F.col("robots_rules"), F.col("url")))
+        )
+        # 3. token-bucket budget -> skew-safe rank -------------------------
+        avail = refill_tokens(
+            F.col("tokens"), F.col("refill_rate"), F.lit(cfg.round_duration_s), F.col("capacity")
+        )
+        elig = elig.withColumn("host_budget", F.floor(avail).cast("int")).filter(
+            F.col("host_budget") >= 1
+        )
+        batch = rank_fetch_batch(elig, n_salts=cfg.n_salts).select(
+            "url", "url_hash", "bucket", "host", "registrable_domain",
+            "priority", "next_fetch_ts", "attempt", "discovered_round",
+        )
+        batch = batch.localCheckpoint(eager=True)  # reused 4×; cut lineage
+        n_batch = batch.count()
+
+        # 4. fetch (simulated from the pages corpus) -----------------------
+        hit = self.pages_idx.join(F.broadcast(batch), "url_hash", "inner")
+        if cfg.transient_fail_mod > 1:
+            transient = (
+                F.pmod(
+                    F.xxhash64(F.concat(F.col("url"), F.col("attempt").cast("string"))),
+                    F.lit(cfg.transient_fail_mod),
+                )
+                == 0
+            )
+        else:
+            transient = F.lit(False)
+        fetched = (
+            hit.withColumn("pid", F.spark_partition_id())
+            .withColumn("fstatus", F.when(transient, "transient").otherwise("fetched"))
+        )
+        ok = fetched.filter(F.col("fstatus") == "fetched").withColumn(
+            "text", extract_text_udf(F.col("html"))
+        ).withColumn("outlinks", extract_outlinks_udf(F.col("html"), F.col("url")))
+        ok = ok.drop("html").localCheckpoint(eager=True)
+        failed_transient = fetched.filter(F.col("fstatus") == "transient").drop("html")
+        failed_transient = failed_transient.localCheckpoint(eager=True)
+        missing = batch.join(hit.select("url_hash"), "url_hash", "left_anti")
+        n_ok = ok.count()
+        n_transient = failed_transient.count()
+        n_missing = n_batch - n_ok - n_transient
+
+        # 6. discovery: out-links -> new frontier rows ---------------------
+        seen = self.t["seen"].read(spark)
+        known = frontier.select("url_hash").unionByName(seen.select("url_hash"))
+        links = (
+            ok.select(
+                F.col("priority").alias("parent_priority"),
+                F.explode("outlinks").alias("url"),
+            )
+            .withColumn("url_hash", url_hash_expr(F.col("url")))
+            # deterministic dedup: several parents may link the same URL —
+            # keep max priority (dropDuplicates would pick an arbitrary row)
+            .groupBy("url_hash")
+            .agg(F.max("parent_priority").alias("parent_priority"), F.min("url").alias("url"))
+        )
+        n_links = links.count()
+        n_known = known.count()
+        bloom = None
+        if n_known >= cfg.bloom_min_keys:
+            bloom = PartitionedBloom.build(
+                known, "url_hash", n_buckets=cfg.n_buckets,
+                expected_per_bucket=max(1000, n_known // cfg.n_buckets), fpp=cfg.bloom_fpp,
+            )
+        fresh = filter_unseen(links, known, "url_hash", bloom=bloom, spark=spark)
+        new_rows = (
+            fresh.withColumn("bucket", bucket_expr(F.col("url_hash"), cfg.n_buckets))
+            .withColumn("host", host_expr(F.col("url")))
+            .withColumn("registrable_domain", registrable_domain_expr(F.col("host")))
+            .withColumn(
+                "priority",
+                F.greatest(
+                    F.col("parent_priority") * cfg.priority_decay, F.lit(0.01)
+                ),
+            )
+            .withColumn("next_fetch_ts", F.lit(self.now(k + 1)))
+            .withColumn("state", F.lit("discovered"))
+            .withColumn("attempt", F.lit(0).cast("int"))
+            .withColumn("discovered_round", F.lit(k + 1).cast("int"))
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
+        )
+        new_rows = new_rows.localCheckpoint(eager=True)
+        n_new = new_rows.count()
+
+        # 7. frontier state transitions ------------------------------------
+        give_up = F.col("attempt") + 1 >= cfg.max_attempts
+        changed = (
+            ok.select("url_hash", F.lit("fetched").alias("new_state"),
+                      F.col("next_fetch_ts").alias("new_nft"), F.col("attempt").alias("new_attempt"))
+            .unionByName(
+                missing.select("url_hash", F.lit("failed").alias("new_state"),
+                               F.col("next_fetch_ts").alias("new_nft"),
+                               F.col("attempt").alias("new_attempt"))
+            )
+            .unionByName(
+                failed_transient.select(
+                    "url_hash",
+                    F.when(give_up, "failed").otherwise("discovered").alias("new_state"),
+                    backoff_next_fetch_ts(now_lit, F.col("attempt")).alias("new_nft"),
+                    (F.col("attempt") + 1).cast("int").alias("new_attempt"),
+                )
+            )
+        )
+        touched = [
+            r["bucket"]
+            for r in changed.join(frontier.select("url_hash", "bucket"), "url_hash")
+            .select("bucket").distinct()
+            .unionByName(new_rows.select("bucket").distinct())
+            .distinct().collect()
+        ]
+        rewritten = (
+            frontier.filter(
+                F.col("bucket").isin(touched) if touched else F.lit(False)
+            )
+            .join(changed, "url_hash", "left")
+            .withColumn("state", F.coalesce(F.col("new_state"), F.col("state")))
+            .withColumn("next_fetch_ts", F.coalesce(F.col("new_nft"), F.col("next_fetch_ts")))
+            .withColumn("attempt", F.coalesce(F.col("new_attempt"), F.col("attempt")))
+            .drop("new_state", "new_nft", "new_attempt")
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
+            .unionByName(new_rows)
+        )
+
+        # host_state: spend tokens, fold failures into the breaker ---------
+        per_host = batch.groupBy("registrable_domain").agg(F.count("*").alias("attempted"))
+        per_host_fail = (
+            failed_transient.groupBy("registrable_domain").agg(F.count("*").alias("round_failures"))
+        )
+        per_host_ok = ok.groupBy("registrable_domain").agg(F.count("*").alias("round_successes"))
+        hs_new = (
+            host_state.join(per_host, "registrable_domain", "left")
+            .join(per_host_fail, "registrable_domain", "left")
+            .join(per_host_ok, "registrable_domain", "left")
+            .na.fill({"attempted": 0, "round_failures": 0, "round_successes": 0})
+            .withColumn(
+                "tokens",
+                F.greatest(
+                    F.lit(0.0),
+                    refill_tokens(F.col("tokens"), F.col("refill_rate"),
+                                  F.lit(cfg.round_duration_s), F.col("capacity"))
+                    - F.col("attempted"),
+                )
+            )
+            .drop("attempted")
+        )
+        hs_new = apply_circuit_breaker(hs_new, now_lit)
+        # new domains discovered this round join host_state lazily
+        new_domains = new_rows.select("registrable_domain").distinct().join(
+            host_state.select("registrable_domain"), "registrable_domain", "left_anti"
+        )
+        hs_new = hs_new.unionByName(self._new_host_rows(new_domains))
+
+        # ------------------------------------------------- commits (S7/T6)
+        results_rows = ok.select(
+            "url", "url_hash", "warc_ts",
+            F.lit("fetched").alias("status"), "text", "lang",
+            F.lit(k).cast("int").alias("round"),
+        )
+        results_snap = self.t["results"].append(results_rows, {"round": k})
+        seen_rows = ok.select("url_hash", F.lit(now).alias("crawl_ts"))
+        seen_snap = self.t["seen"].append(seen_rows, {"round": k})
+        frontier_snap = self.t["frontier"].overwrite_partitions(
+            rewritten, "bucket", {"round": k}
+        )
+        host_snap = self.t["host_state"].overwrite(hs_new, {"round": k})
+
+        wall_ms = int((time.monotonic() - t_start) * 1000)
+        fetch_metrics = (
+            fetched.groupBy("pid")
+            .agg(
+                F.sum(F.when(F.col("fstatus") == "fetched", 1).otherwise(0)).alias("urls_fetched"),
+                F.sum(F.when(F.col("fstatus") != "fetched", 1).otherwise(0)).alias("failures"),
+            )
+            .select(
+                F.lit(k).cast("int").alias("round"), F.lit("fetch").alias("stage"),
+                F.col("pid").cast("int").alias("partition_id"),
+                F.col("urls_fetched").cast("long"),
+                F.lit(n_links - n_new).cast("long").alias("urls_deduped"),
+                F.col("failures").cast("long"),
+                F.lit(wall_ms).cast("long").alias("wall_ms"),
+                F.lit(frontier_snap).cast("long").alias("snapshot_id"),
+            )
+        )
+        metrics_snap = self.t["metrics"].append(fetch_metrics, {"round": k})
+
+        round_row = self.spark.createDataFrame(
+            [
+                (
+                    k, True, n_ok, int(n_transient + n_missing), n_new, n_batch,
+                    wall_ms, frontier_snap, seen_snap, results_snap, host_snap,
+                    metrics_snap,
+                )
+            ],
+            "round INT, completed BOOLEAN, fetched BIGINT, failed BIGINT, "
+            "discovered BIGINT, eligible BIGINT, wall_ms BIGINT, "
+            "frontier_snap BIGINT, seen_snap BIGINT, results_snap BIGINT, "
+            "host_snap BIGINT, metrics_snap BIGINT",
+        )
+        self.t["rounds"].append(round_row, {"round": k})
+        return {
+            "round": k, "eligible": n_batch, "fetched": n_ok,
+            "transient": n_transient, "missing": n_missing,
+            "links": n_links, "new": n_new, "wall_ms": wall_ms,
+        }
+
+    # ------------------------------------------------------------------ run
+    def run(self, seeds: DataFrame | None = None, max_rounds: int | None = None,
+            log=None) -> list[dict]:
+        """Run (or resume) the crawl to convergence; returns round stats."""
+        if seeds is not None:
+            self.init_frontier(seeds)
+            start = 0
+        else:
+            start = self.resume_round()
+        cap = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        stats, empty = [], 0
+        for k in range(start, cap):
+            s = self.run_round(k)
+            stats.append(s)
+            if log:
+                log(s)
+            empty = empty + 1 if s["eligible"] == 0 else 0
+            if empty >= self.cfg.empty_rounds_stop:
+                break
+        return stats

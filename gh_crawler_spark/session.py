@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Local-mode settings mirror what we would submit to a real cluster via
+``spark-submit --py-files engine.zip`` (see bench.py): AQE on (runtime
+coalescing + skew-join handling for the seen anti-join), Arrow on (all engine
+UDFs are pandas/Arrow-vectorized), shuffle partitions sized to cores rather
+than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "gh_crawler_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` -> ``local[*]``. On a real cluster the same engine code is
+    submitted with ``spark-submit --master yarn|k8s --py-files engine.zip``;
+    nothing here is local-mode-specific except the master URL.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(env) if env else 0
+    master = f"local[{cores}]" if cores and cores > 0 else "local[*]"
+    n_shuffle = shuffle_partitions or (cores if cores and cores > 0 else (os.cpu_count() or 8))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,239 @@
+"""Snapshot tables: an Iceberg-semantics stand-in over parquet + manifests.
+
+The north rule requires "per-round Iceberg commits with lineage + metrics,
+resumable from checkpoint". This sandbox ships no Iceberg runtime jars, so the
+engine implements the minimal subset of Iceberg's table semantics it relies
+on, over plain parquet:
+
+  * **Atomic commit**: a snapshot is a JSON manifest listing data files; the
+    commit is an atomic ``os.rename`` of the manifest pointer — the same
+    tmp+rename idiom the reference uses for checkpoints
+    (``src/checkpoint_manager.py:53-59``) and the same atomicity contract as
+    Iceberg's catalog pointer swap. Readers never see a half-written snapshot.
+  * **Snapshots / time travel / rollback**: every commit keeps its manifest;
+    ``read(snapshot_id=...)`` reads any historical snapshot; ``rollback``
+    re-points. This is the exact-resume mechanism (SURVEY.md T6).
+  * **Append** and **dynamic partition overwrite**: ``overwrite_partitions``
+    replaces only the partitions present in the incoming DataFrame — the
+    Iceberg ``overwritePartitions()`` analog. The frontier is bucketed by
+    ``url_hash % n_buckets`` so a round that touches 3% of buckets rewrites
+    3% of the table, not all of it (the property that makes per-round state
+    updates viable at 10^10 rows).
+
+On a real cluster with an Iceberg catalog, ``SnapshotTable`` is replaced by
+``df.writeTo(name).append() / .overwritePartitions()`` one-for-one; engine
+code only calls these four methods (read/append/overwrite/overwrite_partitions),
+so the swap is confined to this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    operation: str
+    files: list[dict[str, Any]]  # [{"path": ..., "partition": {...} | None}]
+    schema_json: str
+    summary: dict[str, Any]
+    committed_at_ms: int
+
+
+class SnapshotTable:
+    """One snapshot-versioned parquet table rooted at ``root/name``."""
+
+    def __init__(self, root: str, name: str) -> None:
+        self.dir = os.path.join(root, name)
+        self.name = name
+        os.makedirs(os.path.join(self.dir, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
+
+    # -- manifest plumbing --------------------------------------------------
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.dir, "CURRENT")
+
+    def current_snapshot_id(self) -> int | None:
+        try:
+            with open(self._pointer, encoding="utf-8") as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _manifest_path(self, sid: int) -> str:
+        return os.path.join(self.dir, "manifests", f"v{sid}.json")
+
+    def snapshot(self, sid: int | None = None) -> Snapshot | None:
+        sid = sid if sid is not None else self.current_snapshot_id()
+        if sid is None:
+            return None
+        with open(self._manifest_path(sid), encoding="utf-8") as f:
+            d = json.load(f)
+        return Snapshot(**d)
+
+    def snapshots(self) -> list[Snapshot]:
+        """All snapshots, oldest first (lineage / history view)."""
+        out = []
+        for fn in sorted(
+            os.listdir(os.path.join(self.dir, "manifests")),
+            key=lambda s: int(s[1:-5]),
+        ):
+            with open(os.path.join(self.dir, "manifests", fn), encoding="utf-8") as f:
+                out.append(Snapshot(**json.load(f)))
+        return out
+
+    def _commit(self, snap: Snapshot) -> None:
+        """Write manifest, then atomically swing the pointer (tmp+rename)."""
+        with open(self._manifest_path(snap.snapshot_id), "w", encoding="utf-8") as f:
+            json.dump(snap.__dict__, f)
+        tmp = self._pointer + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(snap.snapshot_id))
+        os.rename(tmp, self._pointer)  # atomic on POSIX
+
+    def rollback(self, sid: int) -> None:
+        if not os.path.exists(self._manifest_path(sid)):
+            raise ValueError(f"no snapshot {sid} for table {self.name}")
+        tmp = self._pointer + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(sid))
+        os.rename(tmp, self._pointer)
+
+    # -- data writes --------------------------------------------------------
+
+    def _write_data(
+        self, df: DataFrame, partition_by: str | None
+    ) -> list[dict[str, Any]]:
+        """Materialize df under a fresh data dir; return file entries."""
+        out_dir = os.path.join(self.dir, "data", uuid.uuid4().hex)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(out_dir)
+        entries: list[dict[str, Any]] = []
+        for dirpath, _dirnames, filenames in os.walk(out_dir):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                partition = None
+                rel = os.path.relpath(dirpath, out_dir)
+                if rel != "." and "=" in rel:
+                    partition = {}
+                    for seg in rel.split(os.sep):
+                        k, _, v = seg.partition("=")
+                        partition[k] = v
+                entries.append({"path": full, "partition": partition})
+        return entries
+
+    def _next_sid(self) -> int:
+        cur = self.current_snapshot_id()
+        return (cur + 1) if cur is not None else 0
+
+    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
+        prev = self.snapshot()
+        files = (prev.files if prev else []) + self._write_data(df, None)
+        sid = self._next_sid()
+        self._commit(
+            Snapshot(sid, prev.snapshot_id if prev else None, "append", files,
+                     df.schema.json(), summary or {}, int(time.time() * 1000))
+        )
+        return sid
+
+    def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
+        prev = self.snapshot()
+        files = self._write_data(df, None)
+        sid = self._next_sid()
+        self._commit(
+            Snapshot(sid, prev.snapshot_id if prev else None, "overwrite", files,
+                     df.schema.json(), summary or {}, int(time.time() * 1000))
+        )
+        return sid
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        partition_by: str,
+        summary: dict[str, Any] | None = None,
+        replace_all: bool = False,
+    ) -> int:
+        """Dynamic partition overwrite: replace only partitions present in df.
+
+        Iceberg ``overwritePartitions()`` analog — the frontier's per-round
+        state update path. Partitions not present in ``df`` keep their files,
+        unless ``replace_all`` (a full overwrite that still writes bucketed
+        files, used to (re)initialize partitioned tables).
+        """
+        prev = self.snapshot()
+        # Shadow partition column: ``partitionBy`` strips the partition column
+        # from the data files, but snapshot reads list files directly (no
+        # basePath), so the real column must survive inside the files.
+        from pyspark.sql import functions as F
+
+        shadow = f"__pt_{partition_by}"
+        new_files = self._write_data(
+            df.withColumn(shadow, F.col(partition_by).cast("string")), shadow
+        )
+        for f in new_files:  # normalize manifest partition key to the real name
+            if f["partition"] and shadow in f["partition"]:
+                f["partition"] = {partition_by: f["partition"][shadow]}
+        touched = {
+            f["partition"][partition_by] for f in new_files if f["partition"]
+        }
+        if replace_all:
+            kept = []
+        else:
+            stale = [
+                f
+                for f in (prev.files if prev else [])
+                if not f["partition"] or partition_by not in f["partition"]
+            ]
+            if stale:
+                raise ValueError(
+                    f"table {self.name} holds files not partitioned by "
+                    f"{partition_by!r}; partition overwrite would silently "
+                    "keep stale rows — rewrite with replace_all=True first"
+                )
+            kept = [
+                f
+                for f in prev.files
+                if f["partition"].get(partition_by) not in touched
+            ] if prev else []
+        sid = self._next_sid()
+        self._commit(
+            Snapshot(sid, prev.snapshot_id if prev else None, "overwrite_partitions",
+                     kept + new_files, df.schema.json(),
+                     {**(summary or {}), "touched_partitions": sorted(touched)},
+                     int(time.time() * 1000))
+        )
+        return sid
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        snap = self.snapshot(snapshot_id)
+        if snap is None or not snap.files:
+            if snap is not None:
+                schema = T.StructType.fromJson(json.loads(snap.schema_json))
+                return spark.createDataFrame([], schema)
+            raise ValueError(f"table {self.name} has no snapshot yet")
+        paths = [f["path"] for f in snap.files]
+        # basePath keeps partition-dir column values out; partition columns
+        # were written into the files' directory names only — re-derive the
+        # partition column from data (we always keep it as a data column too).
+        return spark.read.parquet(*paths)
+
+    def exists(self) -> bool:
+        return self.current_snapshot_id() is not None
