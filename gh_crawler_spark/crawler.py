@@ -93,6 +93,10 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("state", T.StringType()),
         T.StructField("attempt", T.IntegerType()),
         T.StructField("discovered_round", T.IntegerType()),
+        # robots verdict is computed ONCE when a URL enters the frontier
+        # (rules are static per crawl) — keeps the pandas UDF off the
+        # per-round eligibility path, which stays pure column exprs
+        T.StructField("robots_allowed", T.BooleanType()),
     ]
 )
 
@@ -116,6 +120,9 @@ class Crawler:
             F.col("lang"),
         )
         self.robots = robots
+        # Driver-side frontier-cardinality counter (sizes the Bloom build
+        # without a count() job per round); set by init_frontier/resume.
+        self._known_count = 0
 
     # ------------------------------------------------------------------ time
     def now(self, round_no: int) -> dt.datetime:
@@ -139,6 +146,7 @@ class Crawler:
             .withColumn("state", F.lit("discovered"))
             .withColumn("attempt", F.lit(0).cast("int"))
             .withColumn("discovered_round", F.lit(0).cast("int"))
+            .transform(self._with_robots_allowed)
             # deterministic dedup of seed duplicates: keep max priority
             .withColumn("priority", F.max("priority").over(Window.partitionBy("url_hash")))
             .dropDuplicates(["url_hash"])
@@ -165,6 +173,7 @@ class Crawler:
         hs = self._new_host_rows(domains)
         self.t["host_state"].overwrite(hs, {"op": "init"})
 
+        self._known_count = self.t["frontier"].read(self.spark).count()
         m0 = self.spark.createDataFrame(
             [],
             "round INT, stage STRING, partition_id INT, urls_fetched BIGINT, "
@@ -179,6 +188,22 @@ class Crawler:
             "host_snap BIGINT, metrics_snap BIGINT",
         )
         self.t["rounds"].overwrite(r0, {"op": "init"})
+
+    def _with_robots_allowed(self, df: DataFrame) -> DataFrame:
+        """Stamp the once-per-URL robots verdict (df has registrable_domain, url)."""
+        if self.robots is None:
+            return df.withColumn("robots_allowed", F.lit(True))
+        rules = self.robots.select("registrable_domain", "robots_rules")
+        return (
+            df.join(F.broadcast(rules), "registrable_domain", "left")
+            .withColumn(
+                "robots_allowed",
+                F.coalesce(
+                    robots_allowed_udf(F.col("robots_rules"), F.col("url")), F.lit(True)
+                ),
+            )
+            .drop("robots_rules")
+        )
 
     def _new_host_rows(self, domains: DataFrame) -> DataFrame:
         cfg = self.cfg
@@ -212,6 +237,7 @@ class Crawler:
             .collect()
         )
         if not last:
+            self._known_count = self.t["frontier"].read(self.spark).count()
             return 0
         row = last[0]
         for name, col in (
@@ -221,6 +247,7 @@ class Crawler:
         ):
             if self.t[name].current_snapshot_id() != row[col]:
                 self.t[name].rollback(row[col])
+        self._known_count = self.t["frontier"].read(self.spark).count()
         return int(row["round"]) + 1
 
     # ----------------------------------------------------------------- round
@@ -235,10 +262,13 @@ class Crawler:
 
         # 1-2. eligibility + politeness gates ------------------------------
         elig = (
-            frontier.filter((F.col("state") == "discovered") & (F.col("next_fetch_ts") <= now_lit))
+            frontier.filter(
+                (F.col("state") == "discovered")
+                & (F.col("next_fetch_ts") <= now_lit)
+                & F.col("robots_allowed")
+            )
             .join(F.broadcast(host_state), "registrable_domain", "left")
             .filter(F.col("blocked_until").isNull() | (F.col("blocked_until") <= now_lit))
-            .filter(robots_allowed_udf(F.col("robots_rules"), F.col("url")))
         )
         # 3. token-bucket budget -> skew-safe rank -------------------------
         avail = refill_tokens(
@@ -254,7 +284,7 @@ class Crawler:
         batch = batch.localCheckpoint(eager=True)  # reused 4×; cut lineage
         n_batch = batch.count()
 
-        # 4. fetch (simulated from the pages corpus) -----------------------
+        # 4-5. fetch (simulated from the pages corpus) + extract -----------
         hit = self.pages_idx.join(F.broadcast(batch), "url_hash", "inner")
         if cfg.transient_fail_mod > 1:
             transient = (
@@ -266,20 +296,30 @@ class Crawler:
             )
         else:
             transient = F.lit(False)
+        # One materialization for the whole fetch+extract stage: status,
+        # text, out-links computed in a single pass, html dropped before the
+        # checkpoint so only extracted data is persisted.
         fetched = (
             hit.withColumn("pid", F.spark_partition_id())
             .withColumn("fstatus", F.when(transient, "transient").otherwise("fetched"))
+            .withColumn("text", extract_text_udf(F.col("html")))
+            .withColumn("outlinks", extract_outlinks_udf(F.col("html"), F.col("url")))
+            .drop("html")
+            .localCheckpoint(eager=True)
         )
-        ok = fetched.filter(F.col("fstatus") == "fetched").withColumn(
-            "text", extract_text_udf(F.col("html"))
-        ).withColumn("outlinks", extract_outlinks_udf(F.col("html"), F.col("url")))
-        ok = ok.drop("html").localCheckpoint(eager=True)
-        failed_transient = fetched.filter(F.col("fstatus") == "transient").drop("html")
-        failed_transient = failed_transient.localCheckpoint(eager=True)
-        missing = batch.join(hit.select("url_hash"), "url_hash", "left_anti")
-        n_ok = ok.count()
-        n_transient = failed_transient.count()
+        # one aggregation serves status counts AND per-partition lineage
+        stage_rows = (
+            fetched.groupBy("fstatus", "pid")
+            .agg(F.count("*").alias("n"), F.sum(F.size("outlinks")).alias("raw_links"))
+            .collect()
+        )
+        n_ok = sum(r["n"] for r in stage_rows if r["fstatus"] == "fetched")
+        n_raw_links = sum(r["raw_links"] or 0 for r in stage_rows if r["fstatus"] == "fetched")
+        n_transient = sum(r["n"] for r in stage_rows if r["fstatus"] == "transient")
         n_missing = n_batch - n_ok - n_transient
+        ok = fetched.filter(F.col("fstatus") == "fetched")
+        failed_transient = fetched.filter(F.col("fstatus") == "transient")
+        missing = batch.join(fetched.select("url_hash"), "url_hash", "left_anti")
 
         # 6. discovery: out-links -> new frontier rows ---------------------
         seen = self.t["seen"].read(spark)
@@ -295,13 +335,12 @@ class Crawler:
             .groupBy("url_hash")
             .agg(F.max("parent_priority").alias("parent_priority"), F.min("url").alias("url"))
         )
-        n_links = links.count()
-        n_known = known.count()
         bloom = None
-        if n_known >= cfg.bloom_min_keys:
+        if self._known_count >= cfg.bloom_min_keys:
             bloom = PartitionedBloom.build(
                 known, "url_hash", n_buckets=cfg.n_buckets,
-                expected_per_bucket=max(1000, n_known // cfg.n_buckets), fpp=cfg.bloom_fpp,
+                expected_per_bucket=max(1000, self._known_count // cfg.n_buckets),
+                fpp=cfg.bloom_fpp,
             )
         fresh = filter_unseen(links, known, "url_hash", bloom=bloom, spark=spark)
         new_rows = (
@@ -318,6 +357,7 @@ class Crawler:
             .withColumn("state", F.lit("discovered"))
             .withColumn("attempt", F.lit(0).cast("int"))
             .withColumn("discovered_round", F.lit(k + 1).cast("int"))
+            .transform(self._with_robots_allowed)
             .select([f.name for f in FRONTIER_SCHEMA.fields])
         )
         new_rows = new_rows.localCheckpoint(eager=True)
@@ -342,10 +382,11 @@ class Crawler:
                 )
             )
         )
+        # every changed row came from `batch`, which already carries bucket —
+        # no frontier join needed to find touched partitions
         touched = [
             r["bucket"]
-            for r in changed.join(frontier.select("url_hash", "bucket"), "url_hash")
-            .select("bucket").distinct()
+            for r in batch.select("bucket").distinct()
             .unionByName(new_rows.select("bucket").distinct())
             .distinct().collect()
         ]
@@ -353,7 +394,7 @@ class Crawler:
             frontier.filter(
                 F.col("bucket").isin(touched) if touched else F.lit(False)
             )
-            .join(changed, "url_hash", "left")
+            .join(F.broadcast(changed), "url_hash", "left")
             .withColumn("state", F.coalesce(F.col("new_state"), F.col("state")))
             .withColumn("next_fetch_ts", F.coalesce(F.col("new_nft"), F.col("next_fetch_ts")))
             .withColumn("attempt", F.coalesce(F.col("new_attempt"), F.col("attempt")))
@@ -406,21 +447,21 @@ class Crawler:
         host_snap = self.t["host_state"].overwrite(hs_new, {"round": k})
 
         wall_ms = int((time.monotonic() - t_start) * 1000)
-        fetch_metrics = (
-            fetched.groupBy("pid")
-            .agg(
-                F.sum(F.when(F.col("fstatus") == "fetched", 1).otherwise(0)).alias("urls_fetched"),
-                F.sum(F.when(F.col("fstatus") != "fetched", 1).otherwise(0)).alias("failures"),
-            )
-            .select(
-                F.lit(k).cast("int").alias("round"), F.lit("fetch").alias("stage"),
-                F.col("pid").cast("int").alias("partition_id"),
-                F.col("urls_fetched").cast("long"),
-                F.lit(n_links - n_new).cast("long").alias("urls_deduped"),
-                F.col("failures").cast("long"),
-                F.lit(wall_ms).cast("long").alias("wall_ms"),
-                F.lit(frontier_snap).cast("long").alias("snapshot_id"),
-            )
+        # per-partition lineage assembled from the already-collected stage rows
+        by_pid: dict[int, list[int]] = {}
+        for r in stage_rows:
+            ent = by_pid.setdefault(int(r["pid"]), [0, 0])
+            if r["fstatus"] == "fetched":
+                ent[0] += int(r["n"])
+            else:
+                ent[1] += int(r["n"])
+        fetch_metrics = self.spark.createDataFrame(
+            [
+                (k, "fetch", pid, ent[0], int(n_raw_links) - n_new, ent[1], wall_ms, frontier_snap)
+                for pid, ent in sorted(by_pid.items())
+            ] or [(k, "fetch", -1, 0, 0, 0, wall_ms, frontier_snap)],
+            "round INT, stage STRING, partition_id INT, urls_fetched BIGINT, "
+            "urls_deduped BIGINT, failures BIGINT, wall_ms BIGINT, snapshot_id BIGINT",
         )
         metrics_snap = self.t["metrics"].append(fetch_metrics, {"round": k})
 
@@ -438,10 +479,11 @@ class Crawler:
             "host_snap BIGINT, metrics_snap BIGINT",
         )
         self.t["rounds"].append(round_row, {"round": k})
+        self._known_count += n_new
         return {
             "round": k, "eligible": n_batch, "fetched": n_ok,
             "transient": n_transient, "missing": n_missing,
-            "links": n_links, "new": n_new, "wall_ms": wall_ms,
+            "links": int(n_raw_links), "new": n_new, "wall_ms": wall_ms,
         }
 
     # ------------------------------------------------------------------ run

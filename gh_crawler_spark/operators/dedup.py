@@ -147,21 +147,37 @@ def filter_unseen(
     key_col: str = "url_hash",
     bloom: PartitionedBloom | None = None,
     spark=None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """J1: candidates not in the seen set (Bloom prefilter + exact anti-join).
 
-    With a Bloom, definite-negatives bypass the shuffle: they are union'd back
-    after the anti-join runs only on the (tiny) probable-positive slice.
+    With a Bloom, definite-negatives bypass the join entirely: the exact
+    backstop runs only on the (tiny) probable-positive slice.
+
+    ``broadcast_candidates`` picks the join shape for the crawl steady state,
+    where candidates-per-round ≪ |seen| (10^10): instead of a shuffle
+    anti-join that would move the whole seen set, the candidate keys are
+    broadcast, ``seen`` is scanned map-side for hits (left_semi with the
+    broadcast probe), and the small hit set is broadcast back for the final
+    anti-join — the seen table is never shuffled.
     """
     seen_keys = seen.select(key_col)
+
+    def anti(cands: DataFrame) -> DataFrame:
+        if broadcast_candidates:
+            hits = seen_keys.join(
+                F.broadcast(cands.select(key_col)), key_col, "left_semi"
+            )
+            return cands.join(F.broadcast(hits), key_col, "left_anti")
+        return cands.join(seen_keys, key_col, "left_anti")
+
     if bloom is None:
-        return candidates.join(seen_keys, key_col, "left_anti")
+        return anti(candidates)
     probe = bloom.might_contain_udf(spark or candidates.sparkSession)
     flagged = candidates.withColumn("__maybe_seen", probe(F.col(key_col)))
     definite_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    survivors = suspects.join(seen_keys, key_col, "left_anti")
-    return definite_new.unionByName(survivors)
+    return definite_new.unionByName(anti(suspects))
 
 
 def bucket_expr(key: Column, n_buckets: int) -> Column:

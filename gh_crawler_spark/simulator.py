@@ -1,0 +1,209 @@
+"""Single-threaded reference-semantics crawl simulator (SURVEY.md §5.3).
+
+Implements the engine's crawl SPEC — virtual clock, token buckets, robots,
+circuit breaker, (priority desc, next_fetch_ts asc, url_hash asc) scheduling,
+backoff, priority decay — as plain ordered Python over an in-memory pages
+dict. The equivalence test asserts that the distributed Spark crawler produces
+the **identical final URL-seen set and identical per-round fetch sets** under
+the same seeds + politeness budget at any parallelism level (the north rule's
+"crawl ordering + URL-seen set match the reference" gate).
+
+This file is the executable spec; ``crawler.py`` is the scaled implementation.
+Any semantic drift between them is a test failure, mirroring how the reference
+repo validated per-example behavior by hand (``README_augment.md:80,90``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from dataclasses import dataclass, field
+from urllib import robotparser
+from urllib.parse import quote, urlsplit
+
+from gh_crawler_spark.crawler import EPOCH, CrawlConfig
+from gh_crawler_spark.functions.hashing import xxhash64_py
+from gh_crawler_spark.functions.text import extract_outlinks_py, extract_text_py
+from gh_crawler_spark.functions.urls import canonicalize_url_py, registrable_domain_py
+from gh_crawler_spark.operators.politeness import (
+    BACKOFF_BASE_S,
+    BACKOFF_CAP_S,
+    CIRCUIT_BLOCK_S,
+    CIRCUIT_FAILURES,
+)
+
+
+@dataclass
+class _Entry:
+    url: str
+    url_hash: int
+    domain: str
+    priority: float
+    next_fetch_ts: dt.datetime
+    state: str = "discovered"
+    attempt: int = 0
+
+
+@dataclass
+class _Host:
+    tokens: float
+    rate: float
+    capacity: float
+    robots: str = ""
+    blocked_until: dt.datetime | None = None
+    failure_count: int = 0
+    _parser: robotparser.RobotFileParser | None = field(default=None, repr=False)
+
+    def allowed(self, url: str) -> bool:
+        if not self.robots.strip():
+            return True
+        if self._parser is None:
+            self._parser = robotparser.RobotFileParser()
+            self._parser.parse(self.robots.splitlines())
+        try:
+            return bool(self._parser.can_fetch("*", quote(urlsplit(url).path) or "/"))
+        except Exception:
+            return True
+
+
+def _host_of(canonical: str) -> str:
+    return canonical.split("://", 1)[1].split("/", 1)[0]
+
+
+class SimCrawler:
+    """Ordered single-threaded crawl over ``pages: {canonical_url: html}``."""
+
+    def __init__(self, cfg: CrawlConfig, pages: dict[str, bytes],
+                 robots: dict[str, tuple[str, int]] | None = None):
+        self.cfg = cfg
+        self.pages = {xxhash64_py(u): (u, h) for u, h in pages.items()}
+        self.robots = robots or {}
+        self.frontier: dict[int, _Entry] = {}
+        self.hosts: dict[str, _Host] = {}
+        self.seen: set[int] = set()
+        self.fetch_log: list[tuple[int, int]] = []  # (round, url_hash)
+
+    def _host(self, domain: str) -> _Host:
+        h = self.hosts.get(domain)
+        if h is None:
+            rules, delay = self.robots.get(domain, ("", 100))
+            rate = 1000.0 / (delay or 100)
+            cap = rate * self.cfg.token_capacity_s
+            h = self.hosts[domain] = _Host(tokens=cap, rate=rate, capacity=cap, robots=rules)
+        return h
+
+    def _add(self, url: str, priority: float, nft: dt.datetime, round_no: int) -> bool:
+        uh = xxhash64_py(url)
+        if uh in self.frontier or uh in self.seen:
+            return False
+        dom = registrable_domain_py(_host_of(url))
+        self.frontier[uh] = _Entry(url, uh, dom, priority, nft)
+        self._host(dom)
+        return True
+
+    def now(self, k: int) -> dt.datetime:
+        return EPOCH + dt.timedelta(seconds=k * self.cfg.round_duration_s)
+
+    def seed(self, seeds: list[tuple[str, float]]) -> None:
+        best: dict[str, float] = {}
+        for url, prio in seeds:
+            c = canonicalize_url_py(url)
+            best[c] = max(best.get(c, -math.inf), prio)
+        for c, p in best.items():
+            self._add(c, p, self.now(0), 0)
+
+    def run(self, transient_fn=None, max_rounds: int | None = None) -> list[dict]:
+        cfg = self.cfg
+        transient_fn = transient_fn or (lambda url, attempt: False)
+        stats, empty = [], 0
+        for k in range(max_rounds if max_rounds is not None else cfg.max_rounds):
+            s = self.run_round(k, transient_fn)
+            stats.append(s)
+            empty = empty + 1 if s["eligible"] == 0 else 0
+            if empty >= cfg.empty_rounds_stop:
+                break
+        return stats
+
+    def run_round(self, k: int, transient_fn) -> dict:
+        cfg, now = self.cfg, self.now(k)
+        nxt = self.now(k + 1)
+        # 1-3. eligibility + robots + token budget + deterministic rank
+        by_host: dict[str, list[_Entry]] = {}
+        for e in self.frontier.values():
+            if e.state != "discovered" or e.next_fetch_ts > now:
+                continue
+            h = self._host(e.domain)
+            if h.blocked_until is not None and h.blocked_until > now:
+                continue
+            if not h.allowed(e.url):
+                continue
+            by_host.setdefault(e.domain, []).append(e)
+        batch: list[_Entry] = []
+        budgets: dict[str, float] = {}
+        for dom, entries in by_host.items():
+            h = self._host(dom)
+            avail = min(h.capacity, h.tokens + h.rate * cfg.round_duration_s)
+            budget = int(avail)
+            budgets[dom] = avail
+            if budget < 1:
+                continue
+            entries.sort(key=lambda e: (-e.priority, e.next_fetch_ts, e.url_hash))
+            batch.extend(entries[:budget])
+
+        # 4-6. fetch + extract + discover
+        n_ok = n_transient = n_missing = n_links = n_new = 0
+        new_best: dict[int, tuple[str, float]] = {}
+        fails_per_host: dict[str, int] = {}
+        ok_per_host: dict[str, int] = {}
+        for e in sorted(batch, key=lambda e: e.url_hash):
+            dom = e.domain
+            page = self.pages.get(e.url_hash)
+            if page is None:
+                e.state = "failed"
+                n_missing += 1
+                continue
+            url, html = page
+            if transient_fn(e.url, e.attempt):
+                n_transient += 1
+                fails_per_host[dom] = fails_per_host.get(dom, 0) + 1
+                e.attempt += 1
+                if e.attempt >= cfg.max_attempts:
+                    e.state = "failed"
+                else:
+                    delay = int(min(BACKOFF_CAP_S, BACKOFF_BASE_S * 2.0 ** (e.attempt - 1)))
+                    e.next_fetch_ts = now + dt.timedelta(seconds=delay)
+                continue
+            n_ok += 1
+            ok_per_host[dom] = ok_per_host.get(dom, 0) + 1
+            e.state = "fetched"
+            self.seen.add(e.url_hash)
+            self.fetch_log.append((k, e.url_hash))
+            _ = extract_text_py(html)
+            for link in extract_outlinks_py(html, url):
+                lh = xxhash64_py(link)
+                n_links += 1
+                prev = new_best.get(lh)
+                p = max(e.priority * cfg.priority_decay, 0.01)
+                if prev is None or p > prev[1]:
+                    new_best[lh] = (link, p)
+        for lh, (link, p) in new_best.items():
+            if self._add(link, p, nxt, k + 1):
+                n_new += 1
+
+        # 7. host-state fold: spend tokens, circuit breaker
+        attempted: dict[str, int] = {}
+        for e in batch:
+            attempted[e.domain] = attempted.get(e.domain, 0) + 1
+        for dom, h in self.hosts.items():
+            avail = budgets.get(dom, min(h.capacity, h.tokens + h.rate * cfg.round_duration_s))
+            h.tokens = max(0.0, avail - attempted.get(dom, 0))
+            if ok_per_host.get(dom, 0) > 0:
+                h.failure_count = 0
+            else:
+                h.failure_count += fails_per_host.get(dom, 0)
+            if h.failure_count >= CIRCUIT_FAILURES:
+                h.blocked_until = now + dt.timedelta(seconds=CIRCUIT_BLOCK_S)
+        return {
+            "round": k, "eligible": len(batch), "fetched": n_ok,
+            "transient": n_transient, "missing": n_missing, "new": n_new,
+        }

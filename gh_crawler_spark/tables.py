@@ -118,9 +118,16 @@ class SnapshotTable:
     ) -> list[dict[str, Any]]:
         """Materialize df under a fresh data dir; return file entries."""
         out_dir = os.path.join(self.dir, "data", uuid.uuid4().hex)
-        writer = df.write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(partition_by)
+            # co-locate each partition value in one task -> one file per
+            # partition dir (instead of n_shuffle_partitions small files);
+            # at scale raise files-per-bucket by salting this repartition
+            from pyspark.sql import functions as F
+
+            df = df.repartition(F.col(partition_by))
+            writer = df.write.mode("overwrite").partitionBy(partition_by)
+        else:
+            writer = df.write.mode("overwrite")
         writer.parquet(out_dir)
         entries: list[dict[str, Any]] = []
         for dirpath, _dirnames, filenames in os.walk(out_dir):
@@ -139,8 +146,14 @@ class SnapshotTable:
         return entries
 
     def _next_sid(self) -> int:
-        cur = self.current_snapshot_id()
-        return (cur + 1) if cur is not None else 0
+        # max existing manifest + 1 (NOT current+1: after a rollback the
+        # pointer is behind newer manifests, which must never be overwritten)
+        existing = [
+            int(fn[1:-5])
+            for fn in os.listdir(os.path.join(self.dir, "manifests"))
+            if fn.startswith("v") and fn.endswith(".json")
+        ]
+        return (max(existing) + 1) if existing else 0
 
     def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
         prev = self.snapshot()

@@ -1,0 +1,132 @@
+"""§5.3-5.4: end-to-end equivalence vs the reference-semantics simulator,
+exact resume, and parallelism invariance of the crawl."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gh_crawler_spark.crawler import Crawler, CrawlConfig
+from gh_crawler_spark.functions.hashing import xxhash64_py
+from gh_crawler_spark.functions.urls import canonicalize_url_py
+from gh_crawler_spark.simulator import SimCrawler
+from gh_crawler_spark.sources.pages import generate_pages, generate_robots, generate_seeds
+
+N_PAGES, N_DOMAINS, SEED = 150, 30, 11
+FAIL_MOD = 11
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = generate_pages(spark, N_PAGES, seed=SEED, n_domains=N_DOMAINS).cache()
+    pages.count()
+    seeds = generate_seeds(spark, N_PAGES, 8, seed=SEED, n_domains=N_DOMAINS)
+    robots = generate_robots(spark, seed=SEED, n_domains=N_DOMAINS)
+    return pages, seeds, robots
+
+
+def _cfg(root):
+    return CrawlConfig(root=str(root), n_buckets=8, max_rounds=10,
+                       transient_fail_mod=FAIL_MOD, bloom_min_keys=100,
+                       empty_rounds_stop=2)
+
+
+def _crawl_outcome(spark, crawler):
+    res = crawler.t["results"].read(spark)
+    fetch_sets = {
+        (r["round"], r["url_hash"]) for r in res.select("round", "url_hash").collect()
+    }
+    seen = {r["url_hash"] for r in crawler.t["seen"].read(spark).collect()}
+    return fetch_sets, seen
+
+
+@pytest.fixture(scope="module")
+def baseline(spark, corpus, tmp_path_factory):
+    """One clean full crawl shared by several tests."""
+    pages, seeds, robots = corpus
+    c = Crawler(spark, _cfg(tmp_path_factory.mktemp("base")), pages, robots)
+    c.run(seeds=seeds)
+    return _crawl_outcome(spark, c)
+
+
+def test_matches_simulator(spark, corpus, baseline, tmp_path):
+    pages, seeds, robots = corpus
+    fetch_sets, seen = baseline
+
+    sim_pages = {
+        canonicalize_url_py(r["url"]): bytes(r["html"])
+        for r in pages.select("url", "html").collect()
+    }
+    sim_robots = {
+        r["registrable_domain"]: (r["robots_rules"], r["crawl_delay_ms"])
+        for r in robots.collect()
+    }
+    sim = SimCrawler(_cfg(tmp_path / "sim"), sim_pages, sim_robots)
+    sim.seed([(r["url"], r["priority"]) for r in seeds.collect()])
+    sim.run(transient_fn=lambda url, att: xxhash64_py(url + str(att)) % FAIL_MOD == 0)
+
+    assert seen == sim.seen
+    assert fetch_sets == set(sim.fetch_log)
+
+
+def test_resume_equals_uninterrupted(spark, corpus, baseline, tmp_path):
+    pages, seeds, robots = corpus
+    want = baseline
+
+    # interrupted run: 2 rounds, then resume in a NEW Crawler over same root
+    part = Crawler(spark, _cfg(tmp_path / "part"), pages, robots)
+    part.init_frontier(seeds)
+    for k in range(2):
+        part.run_round(k)
+    resumed = Crawler(spark, _cfg(tmp_path / "part"), pages, robots)
+    resumed.run(seeds=None)
+    assert _crawl_outcome(spark, resumed) == want
+
+
+def test_resume_discards_halfcommitted_round(spark, corpus, baseline, tmp_path):
+    """Crash between a round's table commits and its rounds-row: the partial
+    commits must be rolled back on resume (exactly-once, SURVEY.md T6)."""
+    pages, seeds, robots = corpus
+    c = Crawler(spark, _cfg(tmp_path / "crash"), pages, robots)
+    c.init_frontier(seeds)
+    c.run_round(0)
+    # simulate a crash mid-round-1: results got appended, rounds row did not
+    junk = spark.createDataFrame(
+        [("https://junk/", 123456789, None, "fetched", "junk", "en", 1)],
+        "url STRING, url_hash BIGINT, warc_ts TIMESTAMP, status STRING, "
+        "text STRING, lang STRING, round INT",
+    )
+    c.t["results"].append(junk)
+    resumed = Crawler(spark, _cfg(tmp_path / "crash"), pages, robots)
+    resumed.run(seeds=None)
+    res = resumed.t["results"].read(spark)
+    assert res.filter(F.col("url_hash") == 123456789).count() == 0
+
+    # and the final outcome still matches a clean run
+    assert _crawl_outcome(spark, resumed) == baseline
+
+
+def test_parallelism_invariance(spark, corpus, baseline, tmp_path):
+    """Same outcome at different shuffle parallelism (N vs 4N analog):
+    the baseline ran at 8 shuffle partitions; rerun at 2."""
+    pages, seeds, robots = corpus
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = Crawler(spark, _cfg(tmp_path / "p2"), pages, robots)
+        a.run(seeds=seeds)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert _crawl_outcome(spark, a) == baseline
+
+
+def test_lineage_recorded(spark, corpus, tmp_path):
+    pages, seeds, robots = corpus
+    c = Crawler(spark, _cfg(tmp_path / "lin"), pages, robots)
+    c.run(seeds=seeds, max_rounds=3)
+    rounds = c.t["rounds"].read(spark).orderBy("round").collect()
+    assert [r["round"] for r in rounds] == [0, 1, 2]
+    assert all(r["completed"] for r in rounds)
+    metrics = c.t["metrics"].read(spark)
+    assert metrics.filter(F.col("stage") == "fetch").count() >= 1
+    # snapshot ids recorded per round are readable (time travel)
+    for r in rounds:
+        assert c.t["results"].read(spark, r["results_snap"]) is not None

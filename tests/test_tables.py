@@ -1,0 +1,67 @@
+"""Snapshot tables: atomic commits, time travel, partition overwrite, rollback."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gh_crawler_spark.tables import SnapshotTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k INT, bucket INT, v STRING")
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t")
+    s0 = t.append(_df(spark, [(1, 0, "a")]))
+    s1 = t.append(_df(spark, [(2, 1, "b")]))
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2]
+    assert sorted(r["k"] for r in t.read(spark, s0).collect()) == [1]
+    assert t.current_snapshot_id() == s1
+    hist = t.snapshots()
+    assert [s.snapshot_id for s in hist] == [s0, s1]
+    assert hist[1].parent_id == s0
+
+
+def test_overwrite(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t")
+    t.append(_df(spark, [(1, 0, "a")]))
+    t.overwrite(_df(spark, [(9, 0, "z")]))
+    assert [r["k"] for r in t.read(spark).collect()] == [9]
+
+
+def test_partition_overwrite_touches_only_changed_buckets(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t")
+    t.overwrite_partitions(
+        _df(spark, [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")]), "bucket", replace_all=True
+    )
+    # rewrite bucket 1 only
+    t.overwrite_partitions(_df(spark, [(20, 1, "B")]), "bucket")
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 20: "B", 3: "c"}
+
+
+def test_partition_overwrite_rejects_unpartitioned_base(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t")
+    t.append(_df(spark, [(1, 0, "a")]))
+    with pytest.raises(ValueError, match="stale"):
+        t.overwrite_partitions(_df(spark, [(2, 0, "b")]), "bucket")
+
+
+def test_rollback(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t")
+    s0 = t.append(_df(spark, [(1, 0, "a")]))
+    t.append(_df(spark, [(2, 1, "b")]))
+    t.rollback(s0)
+    assert [r["k"] for r in t.read(spark).collect()] == [1]
+    # committing after rollback continues the lineage
+    s2 = t.append(_df(spark, [(3, 2, "c")]))
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 3]
+    assert s2 > s0
+
+
+def test_empty_read_keeps_schema(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t")
+    t.overwrite(spark.createDataFrame([], "k INT, v STRING"))
+    df = t.read(spark)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
