@@ -1,0 +1,146 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and a full crawl over a
+deterministic synthetic corpus, then prints ONE JSON line:
+
+  {"metric": "urls_fetched_deduped_per_sec", "value": <crawl throughput>,
+   "unit": "urls/sec", "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {...}, "cpus": N}
+
+The headline metric matches BASELINE.json: URLs fetched+deduped per second
+through the full frontier pipeline (canonicalize, hash, Bloom+anti-join dedup,
+politeness, window-ranked scheduling, extraction, snapshot commits).
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+tools/bench_scaling.py and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+HEADLINE = [
+    "a1_pricing_summary",
+    "j1_seen_anti_join",
+    "j4_hash_equi_join",
+    "w1_topk_per_key",
+    "w4_chronological_concat",
+    "u1_union_dedup",
+    "x5_canonicalize",
+    "frontier_pipeline",
+    "td_text_analysis",
+    "td_dedup_exact",
+    "td_ngram_jaccard",
+    "td_minhash_lsh",
+    "td_simhash",
+    "td_ann_cosine",
+    "td_media_meta",
+]
+
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "40000"))
+CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_CRAWL_SEEDS", "300"))
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from gh_crawler_spark.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = QUERIES[name]
+        t0 = time.monotonic()
+        materialize(fn(spark, sf_dir))
+        out[name] = round(time.monotonic() - t0, 3)
+        log(f"  {name}: {out[name]}s")
+    return out
+
+
+def run_crawl(spark, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from gh_crawler_spark.crawler import Crawler, CrawlConfig
+    from gh_crawler_spark.sources.pages import generate_pages, generate_robots, generate_seeds
+
+    n_domains = 2000
+    pages = generate_pages(spark, CRAWL_PAGES, seed=42, n_domains=n_domains,
+                           n_partitions=max(8, cpus)).cache()
+    n_pages = pages.count()  # build cache before timing
+    seeds = generate_seeds(spark, CRAWL_PAGES, CRAWL_SEEDS, seed=42, n_domains=n_domains)
+    robots = generate_robots(spark, seed=42, n_domains=n_domains)
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    cfg = CrawlConfig(
+        root=root,
+        n_buckets=64,
+        max_rounds=30,
+        transient_fail_mod=0,
+        n_salts=max(16, cpus),
+        token_capacity_s=100_000.0,  # politeness budgets sized so throughput,
+        round_duration_s=600.0,      # not the virtual clock, is the limiter
+        bloom_min_keys=10_000,
+    )
+    c = Crawler(spark, cfg, pages, robots)
+    t0 = time.monotonic()
+    stats = c.run(seeds=seeds, log=lambda s: log("  crawl", s))
+    wall = time.monotonic() - t0
+    fetched = sum(s["fetched"] for s in stats)
+    deduped = sum(s["links"] - s["new"] for s in stats)
+    shutil.rmtree(root, ignore_errors=True)
+    pages.unpersist()
+    return {
+        "pages": n_pages,
+        "rounds": len(stats),
+        "fetched": fetched,
+        "deduped": deduped,
+        "wall_s": round(wall, 2),
+        "urls_per_sec": round((fetched + deduped) / wall, 1),
+    }
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gh_crawler_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    log(f"bench: sf_dir={sf_dir} cpus={cpus}")
+
+    # warm-up (JVM/codegen/Arrow paths)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    queries = run_queries(spark, sf_dir)
+    crawl = run_crawl(spark, cpus)
+
+    print(
+        json.dumps(
+            {
+                "metric": "urls_fetched_deduped_per_sec",
+                "value": crawl["urls_per_sec"],
+                "unit": "urls/sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl": crawl,
+                "cpus": cpus,
+                "query_total_sec": round(sum(queries.values()), 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -110,15 +110,18 @@ class Crawler:
             name: SnapshotTable(cfg.root, name)
             for name in ("frontier", "seen", "results", "host_state", "metrics", "rounds")
         }
-        # Fetch-simulation index: the pages corpus keyed by canonical-url hash.
-        # Only url/warc_ts/html/lang are read (column pruning keeps `text`,
-        # the oracle column, out of the scan).
+        # Fetch-simulation index: the pages corpus keyed by canonical-url
+        # hash. Only url/warc_ts/html/lang are read (column pruning keeps
+        # `text`, the oracle column, out of the scan). Persisted: the key is
+        # computed once, not once per round. (On a real crawl this join IS
+        # the network fetch — see operators/fetch.py — so nothing this size
+        # is ever cached at 10^10; it exists only to simulate fetches.)
         self.pages_idx = pages.select(
             url_hash_expr(canonicalize_url_expr(F.col("url"))).alias("url_hash"),
             F.col("warc_ts"),
             F.col("html"),
             F.col("lang"),
-        )
+        ).persist()
         self.robots = robots
         # Driver-side frontier-cardinality counter (sizes the Bloom build
         # without a count() job per round); set by init_frontier/resume.
@@ -250,6 +253,44 @@ class Crawler:
         self._known_count = self.t["frontier"].read(self.spark).count()
         return int(row["round"]) + 1
 
+    def _commit_empty_round(self, k: int, now_lit, host_state: DataFrame,
+                            t_start: float) -> dict:
+        """Nothing eligible: only refill token buckets (semantically identical
+        to the full path — refill is idempotent-capped, nothing is spent) and
+        record the round for resume/termination bookkeeping."""
+        cfg = self.cfg
+        hs_new = host_state.withColumn(
+            "tokens",
+            refill_tokens(F.col("tokens"), F.col("refill_rate"),
+                          F.lit(cfg.round_duration_s), F.col("capacity")),
+        )
+        host_snap = self.t["host_state"].overwrite(hs_new, {"round": k})
+        wall_ms = int((time.monotonic() - t_start) * 1000)
+        snaps = {n: self.t[n].current_snapshot_id() for n in ("frontier", "seen", "results")}
+        metrics_snap = self.t["metrics"].append(
+            self.spark.createDataFrame(
+                [(k, "fetch", -1, 0, 0, 0, wall_ms, snaps["frontier"])],
+                "round INT, stage STRING, partition_id INT, urls_fetched BIGINT, "
+                "urls_deduped BIGINT, failures BIGINT, wall_ms BIGINT, snapshot_id BIGINT",
+            ),
+            {"round": k},
+        )
+        self.t["rounds"].append(
+            self.spark.createDataFrame(
+                [(k, True, 0, 0, 0, 0, wall_ms, snaps["frontier"], snaps["seen"],
+                  snaps["results"], host_snap, metrics_snap)],
+                "round INT, completed BOOLEAN, fetched BIGINT, failed BIGINT, "
+                "discovered BIGINT, eligible BIGINT, wall_ms BIGINT, "
+                "frontier_snap BIGINT, seen_snap BIGINT, results_snap BIGINT, "
+                "host_snap BIGINT, metrics_snap BIGINT",
+            ),
+            {"round": k},
+        )
+        return {
+            "round": k, "eligible": 0, "fetched": 0, "transient": 0,
+            "missing": 0, "links": 0, "new": 0, "wall_ms": wall_ms,
+        }
+
     # ----------------------------------------------------------------- round
     def run_round(self, k: int) -> dict:
         cfg, spark = self.cfg, self.spark
@@ -283,6 +324,8 @@ class Crawler:
         )
         batch = batch.localCheckpoint(eager=True)  # reused 4×; cut lineage
         n_batch = batch.count()
+        if n_batch == 0:
+            return self._commit_empty_round(k, now_lit, host_state, t_start)
 
         # 4-5. fetch (simulated from the pages corpus) + extract -----------
         hit = self.pages_idx.join(F.broadcast(batch), "url_hash", "inner")

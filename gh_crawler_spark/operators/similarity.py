@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the exact baseline: broadcast the (small) query
+  set against the corpus, dot products via zip_with/aggregate (JVM-side),
+  window top-k. Linear scan shape: at 10^10 vectors this is one map stage +
+  a bounded-size per-query heap (the rank filter), no all-pairs blowup.
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures (sign of
+  dot with deterministic hash-derived planes), equi-join on bucket, exact
+  re-rank inside buckets. Same join-shape rule as the text dedup family:
+  never all-pairs, always an equi-join on a short key.
+* cosine near-dup pairs — embedding analog of near-dup detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (queries ≪ corpus); the corpus is scanned once.
+    Ties broken by neighbor id for full determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def _plane(dim: int, plane_id: int):
+    """Deterministic pseudo-random hyperplane: component j is a hash-derived
+    value in [-1, 1) — xxhash64-based, so identical on any cluster layout."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.concat_ws(":", F.lit("plane"), F.lit(plane_id), j.cast("string"))), F.lit(20000))
+            - 10000
+        ).cast("double")
+        / 10000.0,
+    )
+
+
+def lsh_bucket_expr(vec, dim: int, n_planes: int = 12):
+    """Random-hyperplane LSH bucket id: n_planes sign bits packed to a long."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        sign = F.when(_dot(vec, _plane(dim, p)) >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(sign)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates share the query's LSH bucket; exact re-rank
+    inside the bucket. Recall < 1 by design; multiply tables (n_planes ↓ or
+    multiple hash tables) to trade compute for recall."""
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket_expr(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket_expr(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ t) via LSH buckets + exact verify."""
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    b = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_expr(F.col(vec_col), dim, 8).alias("bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vid") < F.col("y.vid")))
+        .withColumn("cosine", F.round(cosine_expr(F.col("x.vec"), F.col("y.vec")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("x.vid").alias("d1"), F.col("y.vid").alias("d2"), "cosine")
+    )

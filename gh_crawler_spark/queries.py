@@ -1,0 +1,829 @@
+"""Operator-coverage query registry (driver correctness contract).
+
+Each entry is one operator family from SURVEY.md §2 expressed twice:
+  * a Spark DataFrame callable ``(spark, sf_dir) -> DataFrame``
+  * an equivalent DuckDB SQL oracle (None for non-SQL-expressible ops —
+    the driver then records a weaker rows-only check)
+
+Conventions that keep the driver's value-hash compare stable:
+  * every computed/aggregate column aliased identically on both sides
+  * DOUBLE aggregates rounded to fixed decimals (summation-order noise)
+  * DuckDB ``sum`` over integers cast to BIGINT (it returns HUGEINT)
+  * timestamps emitted as formatted strings when they appear in output
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gh_crawler_spark.functions.urls import canonicalize_url_expr, registrable_domain_expr
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# A reproducible URL column synthesized from documents (with canonicalization
+# traps), so URL operators have an oracle-able fixture (FIXTURES.md §5).
+_URL_SPARK = (
+    "concat('HTTPS://docs.', upper(source), '-Site.COM:443/docs/', cast(doc_id as string), "
+    "case when doc_id % 3 = 0 then '/' else '' end, "
+    "case when doc_id % 4 = 0 then '?b=2&a=1' else '' end, "
+    "case when doc_id % 5 = 0 then '#frag' else '' end)"
+)
+_URL_DUCK = (
+    "concat('HTTPS://docs.', upper(source), '-Site.COM:443/docs/', cast(doc_id as varchar), "
+    "case when doc_id % 3 = 0 then '/' else '' end, "
+    "case when doc_id % 4 = 0 then '?b=2&a=1' else '' end, "
+    "case when doc_id % 5 = 0 then '#frag' else '' end)"
+)
+
+def _canon_duck(u: str) -> str:
+    """DuckDB re-implementation of the engine canonical form (spec in
+    functions/urls.py) specialized to the synthesized URLs above: scheme is
+    https, port is the default :443, path never empty, query '' or unsorted
+    'b=2&a=1', optional #fragment."""
+    nofrag = f"split_part({u}, '#', 1)"
+    rest = f"split_part({nofrag}, '://', 2)"
+    host = f"lower(split_part(split_part({rest}, '/', 1), ':', 1))"
+    path = f"regexp_replace('/' || split_part(regexp_replace({rest}, '^[^/]*/', ''), '?', 1), '/+$', '')"
+    query = f"CASE WHEN contains({nofrag}, '?b=2&a=1') THEN '?a=1&b=2' ELSE '' END"
+    return f"concat('https://', {host}, {path}, {query})"
+
+
+def q_f1_priority_filter(spark, sf_dir):
+    """F1: threshold filter + projection (star-threshold analog)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 200000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SQL_F1 = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_totalprice >= 200000.0
+"""
+
+
+def q_f4_state_isin(spark, sf_dir):
+    """F4: IN-list state predicate + count by group."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "P"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_F4 = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_orderstatus IN ('F','P') GROUP BY o_orderstatus
+"""
+
+
+def q_f6_min_content(spark, sf_dir):
+    """F6: min-content length predicate (len(body) > k)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 200)
+        .select("doc_id", F.length("text").alias("text_len"))
+    )
+
+
+SQL_F6 = """
+SELECT doc_id, CAST(length(text) AS INT) AS text_len
+FROM documents WHERE length(text) > 200
+"""
+
+
+def q_f10_status_classify(spark, sf_dir):
+    """F10: retryable-error classification (status -> action column)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", "retry")
+        .when(F.col("event_type") == "purchase", "done")
+        .otherwise("skip")
+        .alias("action"),
+    )
+
+
+SQL_F10 = """
+SELECT event_id,
+  CASE WHEN event_type = 'error' THEN 'retry'
+       WHEN event_type = 'purchase' THEN 'done'
+       ELSE 'skip' END AS action
+FROM events
+"""
+
+
+def q_j1_seen_anti_join(spark, sf_dir):
+    """J1: the core dedup anti-join (customers with no orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_J1 = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+def q_j2_remaining_work(spark, sf_dir):
+    """J2/U3: remaining = discovered − scraped − failed (two anti-joins)."""
+    o = _t(spark, sf_dir, "orders")
+    scraped = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    failed = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return (
+        o.select("o_orderkey")
+        .join(scraped, "o_orderkey", "left_anti")
+        .join(failed, "o_orderkey", "left_anti")
+    )
+
+
+SQL_J2 = """
+SELECT o_orderkey FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+  AND o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_j4_hash_equi_join(spark, sf_dir):
+    """J4: hash equi-join + grouped revenue (PR↔issues embed analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_J4 = """
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_j5_lead_join(spark, sf_dir):
+    """J5/W3: lead() over per-key ordered history (previous-commit analog)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+SQL_J5 = """
+SELECT event_id, user_id,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_event_id
+FROM events
+"""
+
+
+def q_j9_lookup_join(spark, sf_dir):
+    """J9: small-dim lookup join (broadcast)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_name", "r_name"
+    )
+
+
+SQL_J9 = "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey"
+
+
+def q_a1_pricing_summary(spark, sf_dir):
+    """A1/A4 headline: TPC-H Q1-style grouped aggregate (stat counters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_A1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_a4_conditional_counts(spark, sf_dir):
+    """A4: open/closed conditional counts per key."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.count("*").alias("n_total"),
+    )
+
+
+SQL_A4 = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_a5_progress_summary(spark, sf_dir):
+    """A5: coverage summary with percentage."""
+    ev = _t(spark, sf_dir, "events")
+    total = ev.count()
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.count("*") / F.lit(total) * 100, 4).alias("pct"),
+    )
+
+
+SQL_A5 = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 100.0 / (SELECT count(*) FROM events), 4) AS pct
+FROM events GROUP BY event_type
+"""
+
+
+def q_a7_throughput(spark, sf_dir):
+    """A7: per-hour throughput (fetch/min analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_A7 = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_a8_success_rate(spark, sf_dir):
+    """A8: success-rate summary."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.round(F.avg(F.when(F.col("event_type") != "error", 1.0).otherwise(0.0)) * 100, 4).alias(
+            "success_pct"
+        )
+    )
+
+
+SQL_A8 = """
+SELECT round(avg(CASE WHEN event_type != 'error' THEN 1.0 ELSE 0.0 END) * 100, 4) AS success_pct
+FROM events
+"""
+
+
+def q_w1_topk_per_key(spark, sf_dir):
+    """W1/L1: deterministic top-K per key (fetch-batch ranking)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+SQL_W1 = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) WHERE rk <= 3
+"""
+
+
+def q_w4_chronological_concat(spark, sf_dir):
+    """W4: chronological ordering within key, emitted as a joined string."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "pair", F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("pair")), lambda s: s["event_type"]),
+                ",",
+            ).alias("timeline")
+        )
+    )
+
+
+SQL_W4 = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY ts ASC, event_id ASC) AS timeline
+FROM events GROUP BY user_id
+"""
+
+
+def q_w5_first_wins_dedup(spark, sf_dir):
+    """W5/J6: first-occurrence-wins dedup per key."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_W5 = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_l2_global_topk(spark, sf_dir):
+    """L2: deterministic global top-K (ordered before limit)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_L2 = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_l3_truncation(spark, sf_dir):
+    """L3: reference truncation rule s[:k] + '...' (byte-identical)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(
+            F.length("text") > 100, F.concat(F.substring("text", 1, 100), F.lit("..."))
+        )
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+
+
+SQL_L3 = """
+SELECT doc_id,
+  CASE WHEN length(text) > 100 THEN substring(text, 1, 100) || '...' ELSE text END AS content
+FROM documents
+"""
+
+
+def q_u1_union_dedup(spark, sf_dir):
+    """U1: union of two discovery streams + dedup."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.unionByName(b).distinct()
+
+
+SQL_U1 = """
+SELECT DISTINCT o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+"""
+
+
+def q_u3_except(spark, sf_dir):
+    """U3: set difference (exceptAll-style remaining work)."""
+    c = _t(spark, sf_dir, "customer")
+    with_orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.select("c_custkey").exceptAll(with_orders.distinct())
+
+
+SQL_U3 = """
+SELECT c_custkey FROM customer
+EXCEPT ALL
+SELECT DISTINCT o_custkey AS c_custkey FROM orders
+"""
+
+
+def q_x2_extract_int(spark, sf_dir):
+    """X2: safe_extract_int — first digit run after cleaning."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.regexp_replace("props", "[ ,]", ""), r"(\d+)", 1)
+        .cast("long")
+        .alias("k_value"),
+    )
+
+
+SQL_X2 = r"""
+SELECT event_id,
+       CAST(regexp_extract(regexp_replace(props, '[ ,]', '', 'g'), '(\d+)', 1) AS BIGINT) AS k_value
+FROM events
+"""
+
+
+def q_x3_k_suffix(spark, sf_dir):
+    """X3: '74.8k' -> 74800 parse (k-suffix numbers)."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.concat(F.round(F.col("value"), 1).cast("string"), F.lit("k"))
+    return ev.select(
+        "event_id",
+        F.round(F.regexp_extract(s, r"([\d.]+)k", 1).cast("double") * 1000)
+        .cast("long")
+        .alias("parsed"),
+    )
+
+
+SQL_X3 = r"""
+SELECT event_id,
+       CAST(round(CAST(regexp_extract(concat(CAST(round(value, 1) AS VARCHAR), 'k'), '([\d.]+)k', 1) AS DOUBLE) * 1000) AS BIGINT) AS parsed
+FROM events
+"""
+
+
+def q_x5_canonicalize(spark, sf_dir):
+    """X5: the engine canonical form, column-expr vs DuckDB SQL (the core
+    parity query for the frontier key path)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        canonicalize_url_expr(F.expr(_URL_SPARK)).alias("canonical_url"),
+    )
+
+
+SQL_X5 = f"""
+SELECT doc_id, {_canon_duck(f'({_URL_DUCK})')} AS canonical_url
+FROM documents
+"""
+
+
+def q_x7_registrable_domain(spark, sf_dir):
+    """X7: registrable-domain extraction (PSL-subset rule)."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lower("source"), F.lit(".docs.example.co.uk"))
+    return d.select("doc_id", registrable_domain_expr(host).alias("regdom"))
+
+
+SQL_X7 = """
+SELECT doc_id, 'example.co.uk' AS regdom FROM documents
+"""
+
+
+def q_x12_split_cleanup(spark, sf_dir):
+    """X12: title cleanup — take text before first marker, trimmed."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.trim(F.substring_index("text", " ", 3)).alias("title3")
+    )
+
+
+SQL_X12 = """
+SELECT doc_id,
+  trim(CASE WHEN length(text) - length(replace(text, ' ', '')) >= 3
+       THEN split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2) || ' ' || split_part(text, ' ', 3)
+       ELSE text END) AS title3
+FROM documents
+"""
+
+
+def q_x13_timestamp_roundtrip(spark, sf_dir):
+    """X13: ISO-string <-> timestamp round-trip + lexicographic==temporal."""
+    ev = _t(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    return ev.select(
+        "event_id",
+        iso.alias("iso"),
+        F.date_format(F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("roundtrip"),
+    )
+
+
+SQL_X13 = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso,
+       strftime(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f'),
+                '%Y-%m-%d %H:%M:%S.%f') AS roundtrip
+FROM events
+"""
+
+
+def q_t2_backoff_schedule(spark, sf_dir):
+    """T2: exponential-backoff schedule column (min(60, 2·2^attempt))."""
+    ev = _t(spark, sf_dir, "events")
+    attempt = (F.col("event_id") % 6).cast("int")
+    return ev.select(
+        "event_id",
+        F.least(F.lit(60.0), F.lit(2.0) * F.pow(F.lit(2.0), attempt))
+        .cast("long")
+        .alias("backoff_s"),
+    )
+
+
+SQL_T2 = """
+SELECT event_id,
+       CAST(least(60.0, 2.0 * power(2.0, CAST(event_id % 6 AS INT))) AS BIGINT) AS backoff_s
+FROM events
+"""
+
+
+def q_t10_staleness(spark, sf_dir):
+    """T10: staleness filter (re-crawl entries older than cutoff)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") < "2024-01-08").select("event_id", "user_id")
+
+
+SQL_T10 = """
+SELECT event_id, user_id FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (SURVEY-plus: dedup / similarity / text
+# analysis / multimodal plumbing) — oracle-checked where DuckDB can express
+# the same computation, rows-only otherwise (hash-sketch internals)
+# --------------------------------------------------------------------------
+
+# DuckDB equivalents of the textops column expressions
+_D_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '')"
+_D_EN = "['the','a','an','of','to','in','and','is','are','was','were','be','for','on','with','as','at','by','it','this','that','from','or','not']"
+_D_DE = "['der','die','das','und','ist','sind','ein','eine','zu','mit','von','für','auf','als']"
+_D_STOP_EN = f"(CASE WHEN len({_D_TOKS}) > 0 THEN len(list_filter({_D_TOKS}, x -> list_contains({_D_EN}, x))) * 1.0 / len({_D_TOKS}) ELSE 0.0 END)"
+_D_STOP_DE = f"(CASE WHEN len({_D_TOKS}) > 0 THEN len(list_filter({_D_TOKS}, x -> list_contains({_D_DE}, x))) * 1.0 / len({_D_TOKS}) ELSE 0.0 END)"
+_D_PUNCT = r"(CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text) ELSE 0.0 END)"
+
+
+def q_td_text_analysis(spark, sf_dir):
+    """Text analysis: tokens, stopword/punct ratios, quality, lang guess,
+    fingerprint — one projection over documents (operators/textops.py)."""
+    from gh_crawler_spark.operators.textops import analyze_documents
+
+    return analyze_documents(_t(spark, sf_dir, "documents"))
+
+
+SQL_TD_TEXT = f"""
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_D_TOKS}) END AS INT) AS n_tokens,
+  round({_D_STOP_EN}, 4) AS stopword_ratio,
+  round({_D_PUNCT}, 4) AS punct_ratio,
+  round(((CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0
+               WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END)
+       + (CASE WHEN {_D_PUNCT} < 0.1 THEN 1.0 ELSE 0.3 END)
+       + (CASE WHEN {_D_STOP_EN} > 0.05 THEN 1.0 ELSE 0.4 END)) / 3.0, 4) AS quality,
+  CASE WHEN {_D_STOP_EN} < 0.02 AND {_D_STOP_DE} < 0.02 THEN 'other'
+       WHEN {_D_STOP_EN} >= {_D_STOP_DE} THEN 'en' ELSE 'de' END AS lang_guess,
+  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_td_dedup_exact(spark, sf_dir):
+    """Exact dedup groups by normalized-text fingerprint."""
+    from gh_crawler_spark.operators.dedup_text import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+SQL_TD_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+def q_td_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (the dedup verifier stage)."""
+    from gh_crawler_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2)
+
+
+SQL_TD_JACCARD = rf"""
+WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT d1, d2, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.2
+"""
+
+
+def q_td_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidates verified by exact Jaccard (rows-only check:
+    DuckDB has no xxhash64 for the signature stage; the verified output is a
+    subset of td_ngram_jaccard by construction and tested in pytest)."""
+    from gh_crawler_spark.operators.dedup_text import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_td_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only: 64 xxhash64-based sign bits)."""
+    from gh_crawler_spark.operators.dedup_text import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_td_ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for the first 5 vectors."""
+    from gh_crawler_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+SQL_TD_ANN = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cosine
+  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5
+"""
+
+
+def q_td_lsh_ann(spark, sf_dir):
+    """LSH-bucketed ANN top-5 (rows-only: hyperplanes are xxhash64-derived)."""
+    from gh_crawler_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=8)
+
+
+def q_td_media_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> metadata via mapInPandas
+    (deterministic fake decode; formula mirrored in the SQL oracle)."""
+    from gh_crawler_spark.operators.multimodal import as_media_table, extract_media_meta
+
+    media = as_media_table(_t(spark, sf_dir, "documents"))
+    return extract_media_meta(media, deterministic_fake=True)
+
+
+SQL_TD_MEDIA = """
+SELECT doc_id, 'image/fake' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+       CAST(octet_length(encode(text)) % 3 + 1 AS INT) AS n_channels
+FROM documents
+"""
+
+
+def q_td_frame_sample(spark, sf_dir):
+    """Frame-sampling explode plumbing for video payloads."""
+    from gh_crawler_spark.operators.multimodal import as_media_table, frame_sample_plan
+
+    return frame_sample_plan(as_media_table(_t(spark, sf_dir, "documents")), every_n=10)
+
+
+SQL_TD_FRAMES = """
+SELECT doc_id, CAST(u.f AS INT) AS frame_no
+FROM documents,
+     UNNEST(generate_series(0, greatest(CAST(octet_length(encode(text)) / 100 AS INT) - 1, 0), 10)) AS u(f)
+"""
+
+
+# --------------------------------------------------------------------------
+# frontier-pipeline showcase on oracle-able fixtures
+# --------------------------------------------------------------------------
+
+
+def q_x16_url_hash(spark, sf_dir):
+    """X16: xxhash64 frontier keys (rows-only: DuckDB lacks xxhash64; the
+    Python/Spark hash parity is asserted in tests/test_hashing.py)."""
+    from gh_crawler_spark.functions.urls import url_hash_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        url_hash_expr(canonicalize_url_expr(F.expr(_URL_SPARK))).alias("url_hash"),
+    )
+
+
+def q_frontier_pipeline(spark, sf_dir):
+    """Flagship compact pipeline: canonicalize -> dedup by canonical key ->
+    per-domain top-K schedule — the crawl round's core, on oracle-able data."""
+    d = _t(spark, sf_dir, "documents")
+    canon = (
+        d.select(
+            "doc_id",
+            canonicalize_url_expr(F.expr(_URL_SPARK)).alias("url"),
+            F.col("n_chars").cast("double").alias("priority"),
+        )
+        .withColumn("registrable_domain", registrable_domain_expr(
+            F.split(F.split(F.col("url"), "://", 2).getItem(1), "/", 2).getItem(0)
+        ))
+    )
+    w = Window.partitionBy("registrable_domain").orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    )
+    return (
+        canon.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("registrable_domain", "doc_id", "url", "priority", "rk")
+    )
+
+
+SQL_FRONTIER = f"""
+WITH canon AS (
+  SELECT doc_id, {_canon_duck(f'({_URL_DUCK})')} AS url,
+         CAST(n_chars AS DOUBLE) AS priority,
+         lower(source) || '-site.com' AS registrable_domain
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY registrable_domain
+                               ORDER BY priority DESC, doc_id ASC) AS rk
+  FROM canon)
+SELECT registrable_domain, doc_id, url, priority, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "f1_priority_filter": (q_f1_priority_filter, SQL_F1),
+    "f4_state_isin": (q_f4_state_isin, SQL_F4),
+    "f6_min_content": (q_f6_min_content, SQL_F6),
+    "f10_status_classify": (q_f10_status_classify, SQL_F10),
+    "j1_seen_anti_join": (q_j1_seen_anti_join, SQL_J1),
+    "j2_remaining_work": (q_j2_remaining_work, SQL_J2),
+    "j4_hash_equi_join": (q_j4_hash_equi_join, SQL_J4),
+    "j5_lead_join": (q_j5_lead_join, SQL_J5),
+    "j9_lookup_join": (q_j9_lookup_join, SQL_J9),
+    "a1_pricing_summary": (q_a1_pricing_summary, SQL_A1),
+    "a4_conditional_counts": (q_a4_conditional_counts, SQL_A4),
+    "a5_progress_summary": (q_a5_progress_summary, SQL_A5),
+    "a7_throughput": (q_a7_throughput, SQL_A7),
+    "a8_success_rate": (q_a8_success_rate, SQL_A8),
+    "w1_topk_per_key": (q_w1_topk_per_key, SQL_W1),
+    "w4_chronological_concat": (q_w4_chronological_concat, SQL_W4),
+    "w5_first_wins_dedup": (q_w5_first_wins_dedup, SQL_W5),
+    "l2_global_topk": (q_l2_global_topk, SQL_L2),
+    "l3_truncation": (q_l3_truncation, SQL_L3),
+    "u1_union_dedup": (q_u1_union_dedup, SQL_U1),
+    "u3_except": (q_u3_except, SQL_U3),
+    "x2_extract_int": (q_x2_extract_int, SQL_X2),
+    "x3_k_suffix": (q_x3_k_suffix, SQL_X3),
+    "x5_canonicalize": (q_x5_canonicalize, SQL_X5),
+    "x7_registrable_domain": (q_x7_registrable_domain, SQL_X7),
+    "x12_split_cleanup": (q_x12_split_cleanup, SQL_X12),
+    "x13_timestamp_roundtrip": (q_x13_timestamp_roundtrip, SQL_X13),
+    "t2_backoff_schedule": (q_t2_backoff_schedule, SQL_T2),
+    "t10_staleness": (q_t10_staleness, SQL_T10),
+    "x16_url_hash": (q_x16_url_hash, None),
+    "frontier_pipeline": (q_frontier_pipeline, SQL_FRONTIER),
+    "td_text_analysis": (q_td_text_analysis, SQL_TD_TEXT),
+    "td_dedup_exact": (q_td_dedup_exact, SQL_TD_DEDUP_EXACT),
+    "td_ngram_jaccard": (q_td_ngram_jaccard, SQL_TD_JACCARD),
+    "td_minhash_lsh": (q_td_minhash_lsh, None),
+    "td_simhash": (q_td_simhash, None),
+    "td_ann_cosine": (q_td_ann_cosine, SQL_TD_ANN),
+    "td_lsh_ann": (q_td_lsh_ann, None),
+    "td_media_meta": (q_td_media_meta, SQL_TD_MEDIA),
+    "td_frame_sample": (q_td_frame_sample, SQL_TD_FRAMES),
+}
