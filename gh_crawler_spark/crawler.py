@@ -22,12 +22,14 @@ as a driver-side ``while`` loop of DataFrame jobs over snapshot tables
   5. **Extract** (X1/UDF): byte-identical text + canonical out-links.
   6. **Discover** (J1/U1/T7): explode out-links -> Bloom-prefiltered anti-join
      against all known hashes -> new frontier rows with decayed priority.
-  7. **Commit** (S7/S11/S12/T6): append results/seen/metrics, dynamic
-     partition overwrite of only the frontier buckets touched this round,
-     overwrite host_state, then the ``rounds`` lineage row — whose snapshot
-     ids are what :meth:`Crawler.resume` rolls back to, giving exactly-once
-     rounds (vs the reference's at-least-once save-every-10,
-     ``src/pr_checkpoint_manager.py:148-150``).
+  7. **Commit** (S7/S11/S12/T6): append results/seen/metrics, append this
+     round's frontier **state transitions** (a delta table — the Iceberg
+     MERGE shape: per-round cost is O(changes), never a frontier rewrite;
+     :meth:`Crawler.compact` periodically folds the delta back into the
+     bucketed frontier), overwrite host_state, then the ``rounds`` lineage
+     row — whose snapshot ids are what :meth:`Crawler.resume` rolls back to,
+     giving exactly-once rounds (vs the reference's at-least-once
+     save-every-10, ``src/pr_checkpoint_manager.py:148-150``).
 
 Termination (A10): ``empty_rounds_stop`` consecutive rounds with no eligible
 URLs (reference k=3, ``src/aggressive_pr_scraper.py:302``) or the round cap
@@ -44,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gh_crawler_spark.functions.text import extract_outlinks_udf, extract_text_udf
+from gh_crawler_spark.functions.text import extract_page_udf
 from gh_crawler_spark.functions.urls import (
     canonicalize_url_expr,
     host_expr,
@@ -78,6 +80,7 @@ class CrawlConfig:
     empty_rounds_stop: int = 3     # A10 (reference k=3)
     bloom_fpp: float = 0.01
     bloom_min_keys: int = 10_000   # skip Bloom below this (anti-join alone)
+    bloom_expected_keys: int = 2_000_000  # sizing for the incremental filter
     token_capacity_s: float = 120.0  # bucket capacity = rate · this
 
 
@@ -101,6 +104,48 @@ FRONTIER_SCHEMA = T.StructType(
 )
 
 
+TRANSITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("next_fetch_ts", T.TimestampType()),
+        T.StructField("attempt", T.IntegerType()),
+        T.StructField("round", T.IntegerType()),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("round", T.IntegerType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("urls_fetched", T.LongType()),
+        T.StructField("urls_deduped", T.LongType()),
+        T.StructField("failures", T.LongType()),
+        T.StructField("wall_ms", T.LongType()),
+        T.StructField("snapshot_id", T.LongType()),
+    ]
+)
+
+ROUNDS_SCHEMA = T.StructType(
+    [
+        T.StructField("round", T.IntegerType()),
+        T.StructField("completed", T.BooleanType()),
+        T.StructField("fetched", T.LongType()),
+        T.StructField("failed", T.LongType()),
+        T.StructField("discovered", T.LongType()),
+        T.StructField("eligible", T.LongType()),
+        T.StructField("wall_ms", T.LongType()),
+        T.StructField("frontier_snap", T.LongType()),
+        T.StructField("seen_snap", T.LongType()),
+        T.StructField("results_snap", T.LongType()),
+        T.StructField("host_snap", T.LongType()),
+        T.StructField("metrics_snap", T.LongType()),
+        T.StructField("transitions_snap", T.LongType()),
+    ]
+)
+
+
 class Crawler:
     def __init__(self, spark: SparkSession, cfg: CrawlConfig, pages: DataFrame,
                  robots: DataFrame | None = None):
@@ -108,7 +153,8 @@ class Crawler:
         self.cfg = cfg
         self.t = {
             name: SnapshotTable(cfg.root, name)
-            for name in ("frontier", "seen", "results", "host_state", "metrics", "rounds")
+            for name in ("frontier", "transitions", "seen", "results", "host_state",
+                         "metrics", "rounds")
         }
         # Fetch-simulation index: the pages corpus keyed by canonical-url
         # hash. Only url/warc_ts/html/lang are read (column pruning keeps
@@ -126,6 +172,9 @@ class Crawler:
         # Driver-side frontier-cardinality counter (sizes the Bloom build
         # without a count() job per round); set by init_frontier/resume.
         self._known_count = 0
+        # Incrementally-maintained URL-seen Bloom (built once past
+        # bloom_min_keys, then add_np per round; reset on init/resume)
+        self._bloom = None
 
     # ------------------------------------------------------------------ time
     def now(self, round_no: int) -> dt.datetime:
@@ -177,20 +226,47 @@ class Crawler:
         self.t["host_state"].overwrite(hs, {"op": "init"})
 
         self._known_count = self.t["frontier"].read(self.spark).count()
-        m0 = self.spark.createDataFrame(
-            [],
-            "round INT, stage STRING, partition_id INT, urls_fetched BIGINT, "
-            "urls_deduped BIGINT, failures BIGINT, wall_ms BIGINT, snapshot_id BIGINT",
+        self._bloom = None
+        self.t["transitions"].append_local([], TRANSITIONS_SCHEMA, {"op": "init"}, overwrite=True)
+        self.t["metrics"].append_local([], METRICS_SCHEMA, {"op": "init"}, overwrite=True)
+        self.t["rounds"].append_local([], ROUNDS_SCHEMA, {"op": "init"}, overwrite=True)
+
+    def _effective_frontier(self, frontier: DataFrame, trans: DataFrame) -> DataFrame:
+        """Frontier rows with the latest transition applied (latest-wins by
+        round; a URL transitions at most once per round, so this is total)."""
+        w = Window.partitionBy("url_hash").orderBy(F.col("round").desc())
+        latest = (
+            trans.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "url_hash",
+                F.col("state").alias("__t_state"),
+                F.col("next_fetch_ts").alias("__t_nft"),
+                F.col("attempt").alias("__t_attempt"),
+            )
         )
-        self.t["metrics"].overwrite(m0, {"op": "init"})
-        r0 = self.spark.createDataFrame(
-            [],
-            "round INT, completed BOOLEAN, fetched BIGINT, failed BIGINT, "
-            "discovered BIGINT, eligible BIGINT, wall_ms BIGINT, "
-            "frontier_snap BIGINT, seen_snap BIGINT, results_snap BIGINT, "
-            "host_snap BIGINT, metrics_snap BIGINT",
+        return (
+            frontier.join(latest, "url_hash", "left")
+            .withColumn("state", F.coalesce(F.col("__t_state"), F.col("state")))
+            .withColumn("next_fetch_ts", F.coalesce(F.col("__t_nft"), F.col("next_fetch_ts")))
+            .withColumn("attempt", F.coalesce(F.col("__t_attempt"), F.col("attempt")))
+            .drop("__t_state", "__t_nft", "__t_attempt")
         )
-        self.t["rounds"].overwrite(r0, {"op": "init"})
+
+    def compact(self) -> None:
+        """Fold the transitions delta into the bucketed frontier (the Iceberg
+        MERGE/compaction step): one full-table write every N rounds instead of
+        one per round; the delta table is truncated afterwards."""
+        trans = self.t["transitions"].read(self.spark)
+        frontier = self.t["frontier"].read(self.spark)
+        merged = self._effective_frontier(frontier, trans).select(
+            [f.name for f in FRONTIER_SCHEMA.fields]
+        )
+        self.t["frontier"].overwrite_partitions(
+            merged, "bucket", {"op": "compact"}, replace_all=True
+        )
+        self.t["transitions"].append_local([], TRANSITIONS_SCHEMA, {"op": "compact"},
+                                           overwrite=True)
 
     def _with_robots_allowed(self, df: DataFrame) -> DataFrame:
         """Stamp the once-per-URL robots verdict (df has registrable_domain, url)."""
@@ -239,6 +315,7 @@ class Crawler:
             .limit(1)
             .collect()
         )
+        self._bloom = None
         if not last:
             self._known_count = self.t["frontier"].read(self.spark).count()
             return 0
@@ -246,7 +323,7 @@ class Crawler:
         for name, col in (
             ("frontier", "frontier_snap"), ("seen", "seen_snap"),
             ("results", "results_snap"), ("host_state", "host_snap"),
-            ("metrics", "metrics_snap"),
+            ("metrics", "metrics_snap"), ("transitions", "transitions_snap"),
         ):
             if self.t[name].current_snapshot_id() != row[col]:
                 self.t[name].rollback(row[col])
@@ -266,24 +343,19 @@ class Crawler:
         )
         host_snap = self.t["host_state"].overwrite(hs_new, {"round": k})
         wall_ms = int((time.monotonic() - t_start) * 1000)
-        snaps = {n: self.t[n].current_snapshot_id() for n in ("frontier", "seen", "results")}
-        metrics_snap = self.t["metrics"].append(
-            self.spark.createDataFrame(
-                [(k, "fetch", -1, 0, 0, 0, wall_ms, snaps["frontier"])],
-                "round INT, stage STRING, partition_id INT, urls_fetched BIGINT, "
-                "urls_deduped BIGINT, failures BIGINT, wall_ms BIGINT, snapshot_id BIGINT",
-            ),
+        snaps = {
+            n: self.t[n].current_snapshot_id()
+            for n in ("frontier", "seen", "results", "transitions")
+        }
+        metrics_snap = self.t["metrics"].append_local(
+            [(k, "fetch", -1, 0, 0, 0, wall_ms, snaps["frontier"])],
+            METRICS_SCHEMA,
             {"round": k},
         )
-        self.t["rounds"].append(
-            self.spark.createDataFrame(
-                [(k, True, 0, 0, 0, 0, wall_ms, snaps["frontier"], snaps["seen"],
-                  snaps["results"], host_snap, metrics_snap)],
-                "round INT, completed BOOLEAN, fetched BIGINT, failed BIGINT, "
-                "discovered BIGINT, eligible BIGINT, wall_ms BIGINT, "
-                "frontier_snap BIGINT, seen_snap BIGINT, results_snap BIGINT, "
-                "host_snap BIGINT, metrics_snap BIGINT",
-            ),
+        self.t["rounds"].append_local(
+            [(k, True, 0, 0, 0, 0, wall_ms, snaps["frontier"], snaps["seen"],
+              snaps["results"], host_snap, metrics_snap, snaps["transitions"])],
+            ROUNDS_SCHEMA,
             {"round": k},
         )
         return {
@@ -293,17 +365,28 @@ class Crawler:
 
     # ----------------------------------------------------------------- round
     def run_round(self, k: int) -> dict:
+        import os
+
         cfg, spark = self.cfg, self.spark
         now = self.now(k)
         now_lit = F.lit(now)
         t_start = time.monotonic()
+        prof: dict[str, float] = {}
+        _last = [t_start]
+
+        def tick(stage: str) -> None:
+            t = time.monotonic()
+            prof[stage] = round(t - _last[0], 2)
+            _last[0] = t
 
         frontier = self.t["frontier"].read(spark)
+        trans = self.t["transitions"].read(spark)
         host_state = self.t["host_state"].read(spark)
 
-        # 1-2. eligibility + politeness gates ------------------------------
+        # 1-2. eligibility + politeness gates (latest-wins over the delta) --
+        current = self._effective_frontier(frontier, trans)
         elig = (
-            frontier.filter(
+            current.filter(
                 (F.col("state") == "discovered")
                 & (F.col("next_fetch_ts") <= now_lit)
                 & F.col("robots_allowed")
@@ -324,6 +407,7 @@ class Crawler:
         )
         batch = batch.localCheckpoint(eager=True)  # reused 4×; cut lineage
         n_batch = batch.count()
+        tick("schedule")
         if n_batch == 0:
             return self._commit_empty_round(k, now_lit, host_state, t_start)
 
@@ -345,11 +429,13 @@ class Crawler:
         fetched = (
             hit.withColumn("pid", F.spark_partition_id())
             .withColumn("fstatus", F.when(transient, "transient").otherwise("fetched"))
-            .withColumn("text", extract_text_udf(F.col("html")))
-            .withColumn("outlinks", extract_outlinks_udf(F.col("html"), F.col("url")))
-            .drop("html")
+            .withColumn("page", extract_page_udf(F.col("html"), F.col("url")))
+            .withColumn("text", F.col("page.text"))
+            .withColumn("outlinks", F.col("page.outlinks"))
+            .drop("html", "page")
             .localCheckpoint(eager=True)
         )
+        tick("fetch_extract")
         # one aggregation serves status counts AND per-partition lineage
         stage_rows = (
             fetched.groupBy("fstatus", "pid")
@@ -363,6 +449,7 @@ class Crawler:
         ok = fetched.filter(F.col("fstatus") == "fetched")
         failed_transient = fetched.filter(F.col("fstatus") == "transient")
         missing = batch.join(fetched.select("url_hash"), "url_hash", "left_anti")
+        tick("status_counts")
 
         # 6. discovery: out-links -> new frontier rows ---------------------
         seen = self.t["seen"].read(spark)
@@ -377,15 +464,21 @@ class Crawler:
             # keep max priority (dropDuplicates would pick an arbitrary row)
             .groupBy("url_hash")
             .agg(F.max("parent_priority").alias("parent_priority"), F.min("url").alias("url"))
+            # materialized once: the bloom probe + anti-join + robots stamp
+            # below would otherwise re-run the explode/groupBy repeatedly
+            .localCheckpoint(eager=True)
         )
-        bloom = None
-        if self._known_count >= cfg.bloom_min_keys:
-            bloom = PartitionedBloom.build(
+        if self._bloom is None and self._known_count >= cfg.bloom_min_keys:
+            # one-time distributed build; afterwards maintained incrementally
+            self._bloom = PartitionedBloom.build(
                 known, "url_hash", n_buckets=cfg.n_buckets,
-                expected_per_bucket=max(1000, self._known_count // cfg.n_buckets),
+                expected_per_bucket=max(
+                    1000, cfg.bloom_expected_keys // cfg.n_buckets
+                ),
                 fpp=cfg.bloom_fpp,
             )
-        fresh = filter_unseen(links, known, "url_hash", bloom=bloom, spark=spark)
+        tick("bloom_build")
+        fresh = filter_unseen(links, known, "url_hash", bloom=self._bloom, spark=spark)
         new_rows = (
             fresh.withColumn("bucket", bucket_expr(F.col("url_hash"), cfg.n_buckets))
             .withColumn("host", host_expr(F.col("url")))
@@ -404,7 +497,15 @@ class Crawler:
             .select([f.name for f in FRONTIER_SCHEMA.fields])
         )
         new_rows = new_rows.localCheckpoint(eager=True)
+        if self._bloom is not None:
+            import numpy as np
+
+            self._bloom.add_np(
+                np.array([r["url_hash"] for r in new_rows.select("url_hash").collect()],
+                         dtype=np.int64)
+            )
         n_new = new_rows.count()
+        tick("discover")
 
         # 7. frontier state transitions ------------------------------------
         give_up = F.col("attempt") + 1 >= cfg.max_attempts
@@ -425,25 +526,12 @@ class Crawler:
                 )
             )
         )
-        # every changed row came from `batch`, which already carries bucket —
-        # no frontier join needed to find touched partitions
-        touched = [
-            r["bucket"]
-            for r in batch.select("bucket").distinct()
-            .unionByName(new_rows.select("bucket").distinct())
-            .distinct().collect()
-        ]
-        rewritten = (
-            frontier.filter(
-                F.col("bucket").isin(touched) if touched else F.lit(False)
-            )
-            .join(F.broadcast(changed), "url_hash", "left")
-            .withColumn("state", F.coalesce(F.col("new_state"), F.col("state")))
-            .withColumn("next_fetch_ts", F.coalesce(F.col("new_nft"), F.col("next_fetch_ts")))
-            .withColumn("attempt", F.coalesce(F.col("new_attempt"), F.col("attempt")))
-            .drop("new_state", "new_nft", "new_attempt")
-            .select([f.name for f in FRONTIER_SCHEMA.fields])
-            .unionByName(new_rows)
+        trans_rows = changed.select(
+            "url_hash",
+            F.col("new_state").alias("state"),
+            F.col("new_nft").alias("next_fetch_ts"),
+            F.col("new_attempt").alias("attempt"),
+            F.lit(k).cast("int").alias("round"),
         )
 
         # host_state: spend tokens, fold failures into the breaker ---------
@@ -481,13 +569,17 @@ class Crawler:
             F.lit("fetched").alias("status"), "text", "lang",
             F.lit(k).cast("int").alias("round"),
         )
+        tick("plan_updates")
         results_snap = self.t["results"].append(results_rows, {"round": k})
+        tick("w_results")
         seen_rows = ok.select("url_hash", F.lit(now).alias("crawl_ts"))
         seen_snap = self.t["seen"].append(seen_rows, {"round": k})
-        frontier_snap = self.t["frontier"].overwrite_partitions(
-            rewritten, "bucket", {"round": k}
-        )
+        tick("w_seen")
+        frontier_snap = self.t["frontier"].append(new_rows, {"round": k})
+        transitions_snap = self.t["transitions"].append(trans_rows, {"round": k})
+        tick("w_frontier")
         host_snap = self.t["host_state"].overwrite(hs_new, {"round": k})
+        tick("w_host")
 
         wall_ms = int((time.monotonic() - t_start) * 1000)
         # per-partition lineage assembled from the already-collected stage rows
@@ -498,36 +590,34 @@ class Crawler:
                 ent[0] += int(r["n"])
             else:
                 ent[1] += int(r["n"])
-        fetch_metrics = self.spark.createDataFrame(
+        metrics_snap = self.t["metrics"].append_local(
             [
                 (k, "fetch", pid, ent[0], int(n_raw_links) - n_new, ent[1], wall_ms, frontier_snap)
                 for pid, ent in sorted(by_pid.items())
             ] or [(k, "fetch", -1, 0, 0, 0, wall_ms, frontier_snap)],
-            "round INT, stage STRING, partition_id INT, urls_fetched BIGINT, "
-            "urls_deduped BIGINT, failures BIGINT, wall_ms BIGINT, snapshot_id BIGINT",
+            METRICS_SCHEMA,
+            {"round": k},
         )
-        metrics_snap = self.t["metrics"].append(fetch_metrics, {"round": k})
-
-        round_row = self.spark.createDataFrame(
+        self.t["rounds"].append_local(
             [
                 (
                     k, True, n_ok, int(n_transient + n_missing), n_new, n_batch,
                     wall_ms, frontier_snap, seen_snap, results_snap, host_snap,
-                    metrics_snap,
+                    metrics_snap, transitions_snap,
                 )
             ],
-            "round INT, completed BOOLEAN, fetched BIGINT, failed BIGINT, "
-            "discovered BIGINT, eligible BIGINT, wall_ms BIGINT, "
-            "frontier_snap BIGINT, seen_snap BIGINT, results_snap BIGINT, "
-            "host_snap BIGINT, metrics_snap BIGINT",
+            ROUNDS_SCHEMA,
+            {"round": k},
         )
-        self.t["rounds"].append(round_row, {"round": k})
         self._known_count += n_new
-        return {
+        out = {
             "round": k, "eligible": n_batch, "fetched": n_ok,
             "transient": n_transient, "missing": n_missing,
             "links": int(n_raw_links), "new": n_new, "wall_ms": wall_ms,
         }
+        if os.environ.get("SPARK_GRAFT_PROFILE"):
+            out["prof"] = prof
+        return out
 
     # ------------------------------------------------------------------ run
     def run(self, seeds: DataFrame | None = None, max_rounds: int | None = None,
@@ -548,4 +638,7 @@ class Crawler:
             empty = empty + 1 if s["eligible"] == 0 else 0
             if empty >= self.cfg.empty_rounds_stop:
                 break
+        # fold the transitions delta into the frontier so readers see final
+        # states without replaying the delta (resume-safe: rollback restores)
+        self.compact()
         return stats

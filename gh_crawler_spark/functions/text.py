@@ -118,6 +118,42 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda h: extract_text_py(h) if h is not None else None)
 
 
+_PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("outlinks", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@F.pandas_udf(_PAGE_SCHEMA)
+def extract_page_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+    """Single-parse extraction: text + out-links from ONE HTML parse per page
+    (the hot-path variant; extract_text_udf/extract_outlinks_udf remain for
+    parity tests). Byte-identical to extract_text_py/extract_outlinks_py —
+    same parser, same post-processing."""
+    texts: list[str | None] = []
+    links: list[list[str]] = []
+    for h, b in zip(html, base_url):
+        if h is None:
+            texts.append(None)
+            links.append([])
+            continue
+        p = _parse(h)
+        texts.append(_WS_RE.sub(" ", " ".join(p.chunks)).strip())
+        out: list[str] = []
+        for href in p.hrefs:
+            href = href.strip()
+            if not href or href.startswith("#") or href.lower().startswith(_SKIP_SCHEMES):
+                continue
+            absolute = urljoin(b, href)
+            if not absolute.startswith(("http://", "https://")):
+                continue
+            out.append(canonicalize_url_py(absolute))
+        links.append(list(dict.fromkeys(out)))
+    return pd.DataFrame({"text": texts, "outlinks": links})
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def extract_outlinks_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     return pd.Series(

@@ -51,14 +51,41 @@ def _positions(h: np.ndarray, k: int, m: int) -> Iterator[np.ndarray]:
 
 
 class PartitionedBloom:
-    """Bucketed Bloom filter over 64-bit keys, built distributively."""
+    """Bucketed Bloom filter over 64-bit keys.
+
+    Built distributively (one grouped-map batch per bucket) and then
+    maintained **incrementally**: each crawl round folds its new keys in with
+    :meth:`add_np` instead of rebuilding — at steady state maintenance cost is
+    O(new keys), not O(all keys). Correctness never depends on this filter
+    (exact anti-join backstop in filter_unseen); it must only never go stale
+    on the NEGATIVE side, which add_np guarantees by construction.
+
+    At true 10^10 scale the per-round add switches from a driver-side numpy
+    update (fine up to ~10^6 new keys/round) to the same grouped-map build
+    restricted to changed buckets, merged bucket-wise.
+    """
 
     def __init__(self, n_buckets: int, bits_per_bucket: int, k: int,
-                 bitmaps: dict[int, bytes]):
+                 bitmaps: dict[int, "np.ndarray"]):
         self.n_buckets = n_buckets
         self.bits_per_bucket = bits_per_bucket
         self.k = k
-        self.bitmaps = bitmaps  # bucket -> packed bit array (little-endian)
+        self.bitmaps = bitmaps  # bucket -> uint8 bit array (little-endian)
+
+    def add_np(self, keys: np.ndarray) -> None:
+        """Fold new 64-bit keys into the bucket bitmaps (driver-side)."""
+        if len(keys) == 0:
+            return
+        keys = np.asarray(keys, dtype=np.int64)
+        buckets = np.mod(keys, self.n_buckets)
+        buckets = np.where(buckets < 0, buckets + self.n_buckets, buckets)
+        for b in np.unique(buckets):
+            bits = self.bitmaps.get(int(b))
+            if bits is None:
+                bits = self.bitmaps[int(b)] = np.zeros(self.bits_per_bucket // 8, dtype=np.uint8)
+            sub = keys[buckets == b].astype(np.uint64)
+            for pos in _positions(sub, self.k, self.bits_per_bucket):
+                np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
 
     # -- build --------------------------------------------------------------
 
@@ -102,7 +129,10 @@ class PartitionedBloom:
             .applyInPandas(build_bucket, schema=out_schema)
             .collect()
         )
-        return cls(n_buckets, m, k, {r["bucket"]: bytes(r["bitmap"]) for r in rows})
+        return cls(
+            n_buckets, m, k,
+            {r["bucket"]: np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8).copy() for r in rows},
+        )
 
     # -- probe --------------------------------------------------------------
 
@@ -114,11 +144,10 @@ class PartitionedBloom:
         buckets = np.mod(keys.astype(np.int64), self.n_buckets)
         buckets = np.where(buckets < 0, buckets + self.n_buckets, buckets)
         for b in np.unique(buckets):
-            bm = self.bitmaps.get(int(b))
+            bits = self.bitmaps.get(int(b))
             sel = buckets == b
-            if bm is None:
+            if bits is None:
                 continue  # empty bucket -> definitely unseen
-            bits = np.frombuffer(bm, dtype=np.uint8)
             sub = keys[sel].astype(np.uint64)
             hit = np.ones(sub.shape, dtype=bool)
             for pos in _positions(sub, self.k, self.bits_per_bucket):

@@ -121,10 +121,11 @@ def _sentence(seed: int, i: int, j: int) -> str:
     )
 
 
-def _make_html(seed: int, i: int, n: int, n_domains: int) -> bytes:
+def _make_html(seed: int, i: int, n: int, n_domains: int,
+               paras: tuple[int, int] = (1, 6)) -> bytes:
     h = _h(seed, "html", i)
     n_links = h % 21  # 0-20 out-links
-    n_paras = 1 + h % 6
+    n_paras = paras[0] + h % (paras[1] - paras[0] + 1)
     paras = "".join(
         f"<p>{_sentence(seed, i, j)}</p>\n" for j in range(n_paras)
     )
@@ -143,10 +144,11 @@ def _make_html(seed: int, i: int, n: int, n_domains: int) -> bytes:
     return body.encode("utf-8")
 
 
-def _row(seed: int, i: int, n: int, n_domains: int) -> tuple:
+def _row(seed: int, i: int, n: int, n_domains: int,
+         paras: tuple[int, int] = (1, 6)) -> tuple:
     canonical = _canonical_url(seed, i, n_domains)
     raw = _trapped_url(seed, i, canonical)
-    html = _make_html(seed, i, n, n_domains)
+    html = _make_html(seed, i, n, n_domains, paras)
     text = extract_text_py(html)  # the byte-identical oracle
     ts = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=_h(seed, "ts", i) % 31_536_000)
     lang = _LANGS[_h(seed, "lang", i) % len(_LANGS)]
@@ -159,13 +161,18 @@ def generate_pages(
     seed: int = 42,
     n_domains: int = 500,
     n_partitions: int | None = None,
+    paras: tuple[int, int] = (1, 6),
 ) -> DataFrame:
-    """Distributed deterministic generation of the pages corpus."""
+    """Distributed deterministic generation of the pages corpus.
+
+    ``paras`` sizes page bodies: (1, 6) for tiny unit-test pages, (30, 70)
+    for realistic Common-Crawl-scale documents (~10-20 KB html) in benchmarks.
+    """
     parts = n_partitions or max(8, n // 20_000)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_row(seed, int(i), n, n_domains) for i in pdf["id"]]
+            rows = [_row(seed, int(i), n, n_domains, paras) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return (

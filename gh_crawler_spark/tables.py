@@ -165,6 +165,47 @@ class SnapshotTable:
         )
         return sid
 
+    def append_local(
+        self,
+        rows: list[tuple],
+        schema: T.StructType,
+        summary: dict[str, Any] | None = None,
+        overwrite: bool = False,
+    ) -> int:
+        """Append a handful of driver-side rows WITHOUT a Spark job.
+
+        Metrics/lineage rows are created on the driver every round; writing
+        them through a Spark job costs a full scheduler round-trip for a few
+        KB. This path writes one parquet file via pyarrow with types matching
+        what Spark would produce, then commits normally.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {
+            "integer": pa.int32(), "long": pa.int64(), "double": pa.float64(),
+            "string": pa.string(), "boolean": pa.bool_(),
+            "timestamp": pa.timestamp("us"),
+        }
+        arrays, names = [], []
+        for i, f in enumerate(schema.fields):
+            names.append(f.name)
+            arrays.append(pa.array([r[i] for r in rows], type=_PA[f.dataType.typeName()]))
+        out_dir = os.path.join(self.dir, "data", uuid.uuid4().hex)
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, "part-00000.parquet")
+        pq.write_table(pa.table(arrays, names=names), path)
+        prev = self.snapshot()
+        kept = [] if overwrite else (prev.files if prev else [])
+        files = kept + [{"path": path, "partition": None}]
+        sid = self._next_sid()
+        self._commit(
+            Snapshot(sid, prev.snapshot_id if prev else None,
+                     "overwrite" if overwrite else "append", files,
+                     schema.json(), summary or {}, int(time.time() * 1000))
+        )
+        return sid
+
     def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
         prev = self.snapshot()
         files = self._write_data(df, None)
