@@ -79,9 +79,11 @@ def run_crawl(spark, cpus: int) -> dict:
     from gh_crawler_spark.sources.pages import generate_pages, generate_robots, generate_seeds
 
     n_domains = 2000
+    # no oracle text (never read here) and no separate pages cache — the
+    # crawler's persisted fetch index is the only materialized copy
     pages = generate_pages(spark, CRAWL_PAGES, seed=42, n_domains=n_domains,
-                           n_partitions=max(16, cpus * 2), paras=CRAWL_PARAS).cache()
-    n_pages = pages.count()  # build cache before timing
+                           n_partitions=max(16, cpus * 2), paras=CRAWL_PARAS,
+                           with_oracle_text=False)
     seeds = generate_seeds(spark, CRAWL_PAGES, CRAWL_SEEDS, seed=42, n_domains=n_domains)
     robots = generate_robots(spark, seed=42, n_domains=n_domains)
     root = tempfile.mkdtemp(prefix="bench_crawl_")
@@ -99,14 +101,14 @@ def run_crawl(spark, cpus: int) -> dict:
     c = Crawler(spark, cfg, pages, robots)
     # materialize the fetch index before timing: it simulates the network,
     # which a real crawl doesn't pay as a Spark stage
-    c.pages_idx.count()
+    n_pages = c.pages_idx.count()
     t0 = time.monotonic()
     stats = c.run(seeds=seeds, log=lambda s: log("  crawl", s))
     wall = time.monotonic() - t0
     fetched = sum(s["fetched"] for s in stats)
     deduped = sum(s["links"] - s["new"] for s in stats)
     shutil.rmtree(root, ignore_errors=True)
-    pages.unpersist()
+    c.pages_idx.unpersist()
     return {
         "pages": n_pages,
         "rounds": len(stats),

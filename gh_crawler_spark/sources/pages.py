@@ -145,11 +145,13 @@ def _make_html(seed: int, i: int, n: int, n_domains: int,
 
 
 def _row(seed: int, i: int, n: int, n_domains: int,
-         paras: tuple[int, int] = (1, 6)) -> tuple:
+         paras: tuple[int, int] = (1, 6), with_oracle_text: bool = True) -> tuple:
     canonical = _canonical_url(seed, i, n_domains)
     raw = _trapped_url(seed, i, canonical)
     html = _make_html(seed, i, n, n_domains, paras)
-    text = extract_text_py(html)  # the byte-identical oracle
+    # the byte-identical oracle; skippable for throughput benches that never
+    # read the text column (it would double generation cost)
+    text = extract_text_py(html) if with_oracle_text else ""
     ts = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=_h(seed, "ts", i) % 31_536_000)
     lang = _LANGS[_h(seed, "lang", i) % len(_LANGS)]
     return raw, ts, html, text, lang
@@ -162,17 +164,21 @@ def generate_pages(
     n_domains: int = 500,
     n_partitions: int | None = None,
     paras: tuple[int, int] = (1, 6),
+    with_oracle_text: bool = True,
 ) -> DataFrame:
     """Distributed deterministic generation of the pages corpus.
 
-    ``paras`` sizes page bodies: (1, 6) for tiny unit-test pages, (30, 70)
-    for realistic Common-Crawl-scale documents (~10-20 KB html) in benchmarks.
+    ``paras`` sizes page bodies: (1, 6) for tiny unit-test pages, (150, 350)+
+    for realistic Common-Crawl-scale documents (~15-60 KB html) in benchmarks.
     """
     parts = n_partitions or max(8, n // 20_000)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_row(seed, int(i), n, n_domains, paras) for i in pdf["id"]]
+            rows = [
+                _row(seed, int(i), n, n_domains, paras, with_oracle_text)
+                for i in pdf["id"]
+            ]
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return (

@@ -1,0 +1,69 @@
+"""Dedup family: exact, n-gram Jaccard, MinHash-LSH, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gh_crawler_spark.operators.dedup_text import (
+    dedup_exact,
+    dedup_keep_first,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+BASE = (
+    "spark frontier crawl queue token bucket robots bloom filter shard "
+    "partition shuffle window rank priority fetch politeness domain host snapshot"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                    # exact dup of 0
+        (2, "  " + BASE.upper() + " "),               # normalized dup of 0
+        (3, BASE.replace("bloom", "cuckoo")),         # near dup (1 token)
+        (4, "completely different content about cooking pasta with tomatoes and basil sauce"),
+        (5, "another unrelated text mentioning mountains rivers forests and weather patterns"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_dedup_exact(spark, docs):
+    groups = {r["keeper_doc_id"]: r["group_size"] for r in dedup_exact(docs).collect()}
+    assert groups[0] == 3  # docs 0,1,2 share one fingerprint
+    assert groups[3] == 1 and groups[4] == 1 and groups[5] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == 1.0  # case/ws-normalized shingles
+    assert 0.5 <= pairs[(0, 3)] < 1.0
+    assert (0, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_lsh_catches_and_verifies(spark, docs):
+    got = {(r["d1"], r["d2"]) for r in
+           minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    exact = {(r["d1"], r["d2"]) for r in
+             ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    assert got <= exact                  # verification: no false positives
+    assert (0, 1) in got and (0, 2) in got  # identical docs always collide
+
+
+def test_simhash_near_pairs(spark, docs):
+    got = {(r["d1"], r["d2"]): r["hamming"] for r in
+           simhash_near_pairs(docs, max_hamming=6).collect()}
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 0
+    assert got.get((0, 3), 99) <= 6      # 1-token change stays close
+    assert (0, 4) not in got
+
+
+def test_dedup_keep_first(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    kept = sorted(r["doc_id"] for r in dedup_keep_first(docs, pairs).collect())
+    assert 0 in kept and 1 not in kept and 2 not in kept and 3 not in kept
+    assert 4 in kept and 5 in kept

@@ -1,0 +1,53 @@
+"""Similarity search: brute-force exact top-k, LSH ANN, near-dup pairs."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gh_crawler_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # ~same direction as 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal to 0
+        (3, [0.0, 0.99, 0.1, 0.0]),     # ~same as 2
+        (4, [-1.0, 0.0, 0.0, 0.0]),     # opposite of 0
+        (5, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+def test_brute_force_exact(spark, vectors):
+    got = brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rk"])]
+    assert ranked[0] == 1          # nearest: same direction
+    assert ranked == [1, 5, 2]     # then diagonal (cos .5), then orthogonal (0)
+    cos01 = next(r["cosine"] for r in got if r["neighbor_id"] == 1)
+    want = 0.999 / math.sqrt(0.999**2 + 0.01**2)
+    assert abs(cos01 - want) < 1e-6
+
+
+def test_lsh_is_subset_with_identicals_found(spark, vectors):
+    got = lsh_topk(vectors, vectors.filter(F.col("vec_id") == 0), dim=4, k=3, n_planes=4)
+    rows = got.collect()
+    # every LSH result must carry the exact cosine; nearest-in-bucket comes first
+    assert all(r["query_id"] == 0 for r in rows)
+    if rows:  # bucket can be a singleton; when not, ranks are consistent
+        ranks = sorted(r["rk"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_cosine_near_dup_pairs(spark, vectors):
+    pairs = {(r["d1"], r["d2"]): r["cosine"] for r in
+             cosine_near_dup_pairs(vectors, threshold=0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (2, 3) in pairs
+    assert (0, 4) not in pairs and (0, 2) not in pairs
