@@ -55,6 +55,7 @@ from gh_crawler_spark.functions.urls import (
 )
 from gh_crawler_spark.operators.dedup import PartitionedBloom, bucket_expr, filter_unseen
 from gh_crawler_spark.operators.politeness import (
+    adapt_refill_rate,
     apply_circuit_breaker,
     backoff_next_fetch_ts,
     refill_tokens,
@@ -82,6 +83,7 @@ class CrawlConfig:
     bloom_min_keys: int = 10_000   # skip Bloom below this (anti-join alone)
     bloom_expected_keys: int = 2_000_000  # sizing for the incremental filter
     token_capacity_s: float = 120.0  # bucket capacity = rate · this
+    adaptive_rate: bool = False    # T3: shrink/recover per-host budgets
 
 
 FRONTIER_SCHEMA = T.StructType(
@@ -299,6 +301,7 @@ class Crawler:
             F.coalesce(F.col("crawl_delay_ms"), F.lit(100)).alias("crawl_delay_ms"),
             (rate * cfg.token_capacity_s).alias("tokens"),
             rate.alias("refill_rate"),
+            rate.alias("base_refill_rate"),
             (rate * cfg.token_capacity_s).alias("capacity"),
             F.lit(None).cast("timestamp").alias("blocked_until"),
             F.lit(0).cast("int").alias("failure_count"),
@@ -554,9 +557,17 @@ class Crawler:
                     - F.col("attempted"),
                 )
             )
-            .drop("attempted")
         )
-        hs_new = apply_circuit_breaker(hs_new, now_lit)
+        if cfg.adaptive_rate:
+            hs_new = hs_new.withColumn(
+                "refill_rate",
+                adapt_refill_rate(
+                    F.col("refill_rate"), F.col("base_refill_rate"),
+                    F.col("attempted"), F.col("round_failures"),
+                    F.col("round_successes"),
+                ),
+            )
+        hs_new = apply_circuit_breaker(hs_new.drop("attempted"), now_lit)
         # new domains discovered this round join host_state lazily
         new_domains = new_rows.select("registrable_domain").distinct().join(
             host_state.select("registrable_domain"), "registrable_domain", "left_anti"

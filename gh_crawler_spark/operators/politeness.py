@@ -80,6 +80,43 @@ def backoff_next_fetch_ts(now_ts: Column, attempt: Column) -> Column:
     return F.timestamp_add("SECOND", delay.cast("long"), now_ts)
 
 
+ADAPT_SHRINK_RATIO = 0.8   # reference: ≥80% of a batch rate-limited (src/aggressive_pr_scraper.py:433-440)
+ADAPT_SHRINK_FACTOR = 0.5  # halve the budget (batch-shrink analog, :337)
+ADAPT_RECOVER_FACTOR = 1.25
+ADAPT_MIN_FRACTION = 1.0 / 64.0
+
+
+def adapt_refill_rate(
+    refill_rate: Column,
+    base_rate: Column,
+    attempted: Column,
+    round_failures: Column,
+    round_successes: Column,
+) -> Column:
+    """T3: adaptive per-host budget.
+
+    The reference shrinks its discovery batch under 429s
+    (``batch = max(1, 10 − consecutive_failures)``,
+    ``src/aggressive_pr_scraper.py:337``) and doubles backoff when ≥80% of a
+    batch is rate-limited (``:433-440``). The engine's analog adapts the
+    token-bucket refill rate: halve when ≥80% of this round's attempts failed
+    transiently (floor base/64), recover ×1.25 toward the base rate on clean
+    rounds. Applied at round fold time -> effective next round.
+    """
+    ratio = F.when(attempted > 0, round_failures / attempted).otherwise(F.lit(0.0))
+    return (
+        F.when(
+            ratio >= ADAPT_SHRINK_RATIO,
+            F.greatest(refill_rate * ADAPT_SHRINK_FACTOR, base_rate * ADAPT_MIN_FRACTION),
+        )
+        .when(
+            (round_successes > 0) & (round_failures == 0),
+            F.least(base_rate, refill_rate * ADAPT_RECOVER_FACTOR),
+        )
+        .otherwise(refill_rate)
+    )
+
+
 def apply_circuit_breaker(
     host_state: DataFrame, now_ts: Column, failures_this_round_col: str = "round_failures",
     successes_this_round_col: str = "round_successes",

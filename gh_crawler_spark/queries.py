@@ -567,6 +567,114 @@ SELECT event_id, user_id FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
 """
 
 
+def q_l1_budget_cap(spark, sf_dir):
+    """L1: per-key budget cap — least(n, cap) (global PR cap analog)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.least(F.count("*"), F.lit(5)).alias("capped_n")
+    )
+
+
+SQL_L1 = """
+SELECT o_custkey, CAST(least(count(*), 5) AS BIGINT) AS capped_n
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_a11_validation_agg(spark, sf_dir):
+    """A11: sampling-validation aggregates (density / distinct / invalid)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n_invalid"),
+    )
+
+
+SQL_A11 = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(avg(value), 4) AS avg_value,
+       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
+FROM events GROUP BY event_type
+"""
+
+
+def q_x6_url_to_filename(spark, sf_dir):
+    """X6: URL -> safe filename (replace scheme + '/' -> '_')."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.expr(_URL_SPARK)
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.regexp_replace(url, "^https?://", ""), "/", "_").alias("fname"),
+    )
+
+
+SQL_X6 = f"""
+SELECT doc_id,
+       replace(regexp_replace(({_URL_DUCK}), '^https?://', ''), '/', '_') AS fname
+FROM documents
+"""
+
+
+def q_x8_ref_extract(spark, sf_dir):
+    """X8: extract-all references (regexp_extract_all, joined for compare)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.array_join(
+            F.regexp_extract_all(F.col("props"), F.lit(r"(\d+)"), 1), ","
+        ).alias("refs"),
+    )
+
+
+SQL_X8 = r"""
+SELECT event_id, array_to_string(regexp_extract_all(props, '(\d+)', 1), ',') AS refs
+FROM events
+"""
+
+
+def q_x10_embedded_json(spark, sf_dir):
+    """X10: embedded-JSON extraction with an explicit schema (from_json)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k_value"),
+    )
+
+
+SQL_X10 = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k_value
+FROM events
+"""
+
+
+def q_x15_duration_format(spark, sf_dir):
+    """X15: seconds -> human duration (reference src/utils.py:82-91)."""
+    ev = _t(spark, sf_dir, "events")
+    sec = (F.col("event_id") % 7200).cast("double")
+    return ev.select(
+        "event_id",
+        F.when(sec < 60, F.concat(sec.cast("int").cast("string"), F.lit(" seconds")))
+        .when(sec < 3600, F.concat(F.round(sec / 60, 1).cast("string"), F.lit(" minutes")))
+        .otherwise(F.concat(F.round(sec / 3600, 1).cast("string"), F.lit(" hours")))
+        .alias("duration"),
+    )
+
+
+SQL_X15 = """
+SELECT event_id,
+  CASE WHEN event_id % 7200 < 60
+         THEN CAST(CAST(event_id % 7200 AS INT) AS VARCHAR) || ' seconds'
+       WHEN event_id % 7200 < 3600
+         THEN CAST(round((event_id % 7200) / 60.0, 1) AS VARCHAR) || ' minutes'
+       ELSE CAST(round((event_id % 7200) / 3600.0, 1) AS VARCHAR) || ' hours'
+  END AS duration
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (SURVEY-plus: dedup / similarity / text
 # analysis / multimodal plumbing) — oracle-checked where DuckDB can express
@@ -815,6 +923,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "x13_timestamp_roundtrip": (q_x13_timestamp_roundtrip, SQL_X13),
     "t2_backoff_schedule": (q_t2_backoff_schedule, SQL_T2),
     "t10_staleness": (q_t10_staleness, SQL_T10),
+    "l1_budget_cap": (q_l1_budget_cap, SQL_L1),
+    "a11_validation_agg": (q_a11_validation_agg, SQL_A11),
+    "x6_url_to_filename": (q_x6_url_to_filename, SQL_X6),
+    "x8_ref_extract": (q_x8_ref_extract, SQL_X8),
+    "x10_embedded_json": (q_x10_embedded_json, SQL_X10),
+    "x15_duration_format": (q_x15_duration_format, SQL_X15),
     "x16_url_hash": (q_x16_url_hash, None),
     "frontier_pipeline": (q_frontier_pipeline, SQL_FRONTIER),
     "td_text_analysis": (q_td_text_analysis, SQL_TD_TEXT),

@@ -26,6 +26,10 @@ from gh_crawler_spark.functions.hashing import xxhash64_py
 from gh_crawler_spark.functions.text import extract_outlinks_py, extract_text_py
 from gh_crawler_spark.functions.urls import canonicalize_url_py, registrable_domain_py
 from gh_crawler_spark.operators.politeness import (
+    ADAPT_MIN_FRACTION,
+    ADAPT_RECOVER_FACTOR,
+    ADAPT_SHRINK_FACTOR,
+    ADAPT_SHRINK_RATIO,
     BACKOFF_BASE_S,
     BACKOFF_CAP_S,
     CIRCUIT_BLOCK_S,
@@ -49,6 +53,7 @@ class _Host:
     tokens: float
     rate: float
     capacity: float
+    base_rate: float = 0.0
     robots: str = ""
     blocked_until: dt.datetime | None = None
     failure_count: int = 0
@@ -89,7 +94,9 @@ class SimCrawler:
             rules, delay = self.robots.get(domain, ("", 100))
             rate = 1000.0 / (delay or 100)
             cap = rate * self.cfg.token_capacity_s
-            h = self.hosts[domain] = _Host(tokens=cap, rate=rate, capacity=cap, robots=rules)
+            h = self.hosts[domain] = _Host(
+                tokens=cap, rate=rate, capacity=cap, base_rate=rate, robots=rules
+            )
         return h
 
     def _add(self, url: str, priority: float, nft: dt.datetime, round_no: int) -> bool:
@@ -197,6 +204,14 @@ class SimCrawler:
         for dom, h in self.hosts.items():
             avail = budgets.get(dom, min(h.capacity, h.tokens + h.rate * cfg.round_duration_s))
             h.tokens = max(0.0, avail - attempted.get(dom, 0))
+            if cfg.adaptive_rate:
+                a = attempted.get(dom, 0)
+                f = fails_per_host.get(dom, 0)
+                o = ok_per_host.get(dom, 0)
+                if a > 0 and f / a >= ADAPT_SHRINK_RATIO:
+                    h.rate = max(h.base_rate * ADAPT_MIN_FRACTION, h.rate * ADAPT_SHRINK_FACTOR)
+                elif o > 0 and f == 0:
+                    h.rate = min(h.base_rate, h.rate * ADAPT_RECOVER_FACTOR)
             if ok_per_host.get(dom, 0) > 0:
                 h.failure_count = 0
             else:

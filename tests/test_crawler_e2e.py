@@ -118,6 +118,33 @@ def test_parallelism_invariance(spark, corpus, baseline, tmp_path):
     assert _crawl_outcome(spark, a) == baseline
 
 
+def test_adaptive_rate_matches_simulator(spark, corpus, tmp_path):
+    """T3: adaptive per-host budgets stay equivalent to the executable spec
+    under transient failures."""
+    import dataclasses
+
+    pages, seeds, robots = corpus
+    cfg = dataclasses.replace(_cfg(tmp_path / "ad"), adaptive_rate=True)
+    c = Crawler(spark, cfg, pages, robots)
+    c.run(seeds=seeds)
+    fetch_sets, seen = _crawl_outcome(spark, c)
+
+    sim_pages = {
+        canonicalize_url_py(r["url"]): bytes(r["html"])
+        for r in pages.select("url", "html").collect()
+    }
+    sim_robots = {
+        r["registrable_domain"]: (r["robots_rules"], r["crawl_delay_ms"])
+        for r in robots.collect()
+    }
+    sim = SimCrawler(dataclasses.replace(cfg, root=str(tmp_path / "adsim")),
+                     sim_pages, sim_robots)
+    sim.seed([(r["url"], r["priority"]) for r in seeds.collect()])
+    sim.run(transient_fn=lambda url, att: xxhash64_py(url + str(att)) % FAIL_MOD == 0)
+    assert seen == sim.seen
+    assert fetch_sets == set(sim.fetch_log)
+
+
 def test_lineage_recorded(spark, corpus, tmp_path):
     pages, seeds, robots = corpus
     c = Crawler(spark, _cfg(tmp_path / "lin"), pages, robots)
