@@ -274,6 +274,35 @@ class SnapshotTable:
         )
         return sid
 
+    # -- maintenance ---------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 5) -> int:
+        """Iceberg ``expireSnapshots`` analog: drop all but the newest
+        ``keep_last`` manifests (the current one always survives) and delete
+        data files no surviving manifest references. Returns files deleted.
+
+        Run between rounds at scale — the frontier/seen tables otherwise
+        accumulate one manifest per round forever.
+        """
+        snaps = self.snapshots()
+        current = self.current_snapshot_id()
+        keep = {s.snapshot_id for s in snaps[-keep_last:]} | ({current} if current is not None else set())
+        referenced: set[str] = set()
+        for s in snaps:
+            if s.snapshot_id in keep:
+                referenced.update(f["path"] for f in s.files)
+        deleted = 0
+        for s in snaps:
+            if s.snapshot_id in keep:
+                continue
+            for f in s.files:
+                if f["path"] not in referenced and os.path.exists(f["path"]):
+                    os.remove(f["path"])
+                    referenced.add(f["path"])  # don't double-count shared paths
+                    deleted += 1
+            os.remove(self._manifest_path(s.snapshot_id))
+        return deleted
+
     # -- reads --------------------------------------------------------------
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:

@@ -59,6 +59,31 @@ def test_rollback(spark, tmp_path):
     assert s2 > s0
 
 
+def test_expire_snapshots(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t")
+    for i in range(6):
+        t.append(_df(spark, [(i, 0, "v")]))
+    assert len(t.snapshots()) == 6
+    deleted = t.expire_snapshots(keep_last=2)
+    remaining = t.snapshots()
+    assert len(remaining) == 2
+    # current snapshot still reads the full accumulated data
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(6))
+    # nothing the survivors reference was deleted; earlier superseded
+    # manifests are gone
+    assert deleted == 0  # append-only: all files still referenced by newest
+
+
+def test_expire_snapshots_deletes_orphaned_files(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t")
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    t.overwrite(_df(spark, [(2, 0, "b")]))  # makes snapshot-0 files orphan
+    t.overwrite(_df(spark, [(3, 0, "c")]))
+    deleted = t.expire_snapshots(keep_last=1)
+    assert deleted > 0
+    assert [r["k"] for r in t.read(spark).collect()] == [3]
+
+
 def test_empty_read_keeps_schema(spark, tmp_path):
     t = SnapshotTable(str(tmp_path), "t")
     t.overwrite(spark.createDataFrame([], "k INT, v STRING"))
