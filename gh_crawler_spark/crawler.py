@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import datetime as dt
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -454,6 +455,21 @@ class Crawler:
         missing = batch.join(fetched.select("url_hash"), "url_hash", "left_anti")
         tick("status_counts")
 
+        # Results/seen appends depend only on `ok` (already checkpointed):
+        # start them NOW in background threads so the write overlaps the
+        # discovery stage. Spark schedules concurrent jobs fairly; each
+        # SnapshotTable commit is independent and atomic, and the rounds row
+        # (the resume barrier) is written only after every future resolves.
+        results_rows = ok.select(
+            "url", "url_hash", "warc_ts",
+            F.lit("fetched").alias("status"), "text", "lang",
+            F.lit(k).cast("int").alias("round"),
+        )
+        seen_rows = ok.select("url_hash", F.lit(now).alias("crawl_ts"))
+        pool = ThreadPoolExecutor(max_workers=4)
+        fut_results = pool.submit(self.t["results"].append, results_rows, {"round": k})
+        fut_seen = pool.submit(self.t["seen"].append, seen_rows, {"round": k})
+
         # 6. discovery: out-links -> new frontier rows ---------------------
         seen = self.t["seen"].read(spark)
         known = frontier.select("url_hash").unionByName(seen.select("url_hash"))
@@ -575,22 +591,16 @@ class Crawler:
         hs_new = hs_new.unionByName(self._new_host_rows(new_domains))
 
         # ------------------------------------------------- commits (S7/T6)
-        results_rows = ok.select(
-            "url", "url_hash", "warc_ts",
-            F.lit("fetched").alias("status"), "text", "lang",
-            F.lit(k).cast("int").alias("round"),
-        )
         tick("plan_updates")
-        results_snap = self.t["results"].append(results_rows, {"round": k})
-        tick("w_results")
-        seen_rows = ok.select("url_hash", F.lit(now).alias("crawl_ts"))
-        seen_snap = self.t["seen"].append(seen_rows, {"round": k})
-        tick("w_seen")
-        frontier_snap = self.t["frontier"].append(new_rows, {"round": k})
-        transitions_snap = self.t["transitions"].append(trans_rows, {"round": k})
-        tick("w_frontier")
+        fut_frontier = pool.submit(self.t["frontier"].append, new_rows, {"round": k})
+        fut_trans = pool.submit(self.t["transitions"].append, trans_rows, {"round": k})
         host_snap = self.t["host_state"].overwrite(hs_new, {"round": k})
-        tick("w_host")
+        frontier_snap = fut_frontier.result()
+        transitions_snap = fut_trans.result()
+        results_snap = fut_results.result()
+        seen_snap = fut_seen.result()
+        pool.shutdown()
+        tick("w_all")
 
         wall_ms = int((time.monotonic() - t_start) * 1000)
         # per-partition lineage assembled from the already-collected stage rows

@@ -567,6 +567,105 @@ SELECT event_id, user_id FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
 """
 
 
+def q_a2_a3_derived_arithmetic(spark, sf_dir):
+    """A2/A3: max-id aggregate + derived arithmetic (closed = latest − open,
+    reference src/repository_scraper.py:186-196,379-403)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max("o_orderkey").alias("latest_key"),
+        (F.max("o_orderkey") - F.count("*")).alias("derived_gap"),
+    )
+
+
+SQL_A2A3 = """
+SELECT o_custkey, CAST(max(o_orderkey) AS BIGINT) AS latest_key,
+       CAST(max(o_orderkey) - count(*) AS BIGINT) AS derived_gap
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_u2_union_seen_sets(spark, sf_dir):
+    """U2: union of two seen-set sources then distinct (output-dir URLs ∪
+    current-file URLs, reference src/checkpoint_manager.py:203)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = o.select(F.col("o_orderkey").alias("k"))
+    b = li.select(F.col("l_orderkey").alias("k"))
+    return a.unionByName(b).distinct().agg(
+        F.count("*").alias("n_distinct"), F.sum("k").alias("sum_k")
+    )
+
+
+SQL_U2 = """
+SELECT CAST(count(*) AS BIGINT) AS n_distinct, CAST(sum(k) AS BIGINT) AS sum_k
+FROM (SELECT o_orderkey AS k FROM orders UNION SELECT l_orderkey AS k FROM lineitem)
+"""
+
+
+def q_j6_selector_rank_dedup(spark, sf_dir):
+    """J6/W5: first-occurrence-wins across prioritized selector passes
+    (reference seen_pr_numbers cascade, src/pr_scraper.py:344-401): the same
+    key found by several 'selectors' keeps the lowest selector rank."""
+    ev = _t(spark, sf_dir, "events")
+    # simulate two selector passes producing overlapping keys
+    pass1 = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.lit(1).alias("selector_rank")
+    )
+    pass2 = ev.filter(F.col("value") > 5).select("user_id", F.lit(2).alias("selector_rank"))
+    both = pass1.unionByName(pass2)
+    w = Window.partitionBy("user_id").orderBy(F.col("selector_rank").asc())
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "selector_rank")
+    )
+
+
+SQL_J6 = """
+SELECT user_id, selector_rank FROM (
+  SELECT user_id, selector_rank,
+         row_number() OVER (PARTITION BY user_id ORDER BY selector_rank ASC) AS rn
+  FROM (
+    SELECT user_id, 1 AS selector_rank FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, 2 AS selector_rank FROM events WHERE value > 5)
+) WHERE rn = 1
+"""
+
+
+def q_j4b_nested_embed(spark, sf_dir):
+    """J4 embed shape: join + collect_list(struct) sorted chronologically,
+    rendered as a string for the oracle compare (PR ↔ related-issues embed,
+    reference src/pr_scraper.py:788-823)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    li = _t(spark, sf_dir, "lineitem")
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    return (
+        j.groupBy("o_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("l_linenumber"), F.col("l_partkey")))
+                    ),
+                    lambda s: s["l_partkey"].cast("string"),
+                ),
+                ",",
+            ).alias("embedded_parts")
+        )
+    )
+
+
+SQL_J4B = """
+SELECT o_orderkey,
+       coalesce(string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey), '')
+         AS embedded_parts
+FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey % 100 = 0
+GROUP BY o_orderkey
+"""
+
+
 def q_l1_budget_cap(spark, sf_dir):
     """L1: per-key budget cap — least(n, cap) (global PR cap analog)."""
     o = _t(spark, sf_dir, "orders")
@@ -924,6 +1023,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "t2_backoff_schedule": (q_t2_backoff_schedule, SQL_T2),
     "t10_staleness": (q_t10_staleness, SQL_T10),
     "l1_budget_cap": (q_l1_budget_cap, SQL_L1),
+    "a2_a3_derived_arithmetic": (q_a2_a3_derived_arithmetic, SQL_A2A3),
+    "u2_union_seen_sets": (q_u2_union_seen_sets, SQL_U2),
+    "j6_selector_rank_dedup": (q_j6_selector_rank_dedup, SQL_J6),
+    "j4b_nested_embed": (q_j4b_nested_embed, SQL_J4B),
     "a11_validation_agg": (q_a11_validation_agg, SQL_A11),
     "x6_url_to_filename": (q_x6_url_to_filename, SQL_X6),
     "x8_ref_extract": (q_x8_ref_extract, SQL_X8),
