@@ -81,7 +81,7 @@ class CrawlConfig:
     max_rounds: int = 50           # L5 page-cap analog
     empty_rounds_stop: int = 3     # A10 (reference k=3)
     bloom_fpp: float = 0.01
-    bloom_min_keys: int = 10_000   # skip Bloom below this (anti-join alone)
+    bloom_min_keys: int = 10_000   # (retained knob; bloom is now always on)
     bloom_expected_keys: int = 2_000_000  # sizing for the incremental filter
     token_capacity_s: float = 120.0  # bucket capacity = rate · this
     adaptive_rate: bool = False    # T3: shrink/recover per-host budgets
@@ -179,6 +179,14 @@ class Crawler:
         # bloom_min_keys, then add_np per round; reset on init/resume)
         self._bloom = None
 
+    def _empty_bloom(self):
+        cfg = self.cfg
+        return PartitionedBloom.empty(
+            n_buckets=cfg.n_buckets,
+            expected_per_bucket=max(1000, cfg.bloom_expected_keys // cfg.n_buckets),
+            fpp=cfg.bloom_fpp,
+        )
+
     # ------------------------------------------------------------------ time
     def now(self, round_no: int) -> dt.datetime:
         return EPOCH + dt.timedelta(seconds=round_no * self.cfg.round_duration_s)
@@ -229,7 +237,14 @@ class Crawler:
         self.t["host_state"].overwrite(hs, {"op": "init"})
 
         self._known_count = self.t["frontier"].read(self.spark).count()
-        self._bloom = None
+        self._bloom = self._empty_bloom()
+        import numpy as np
+
+        self._bloom.add_np(
+            np.array(
+                [r["url_hash"] for r in fr.select("url_hash").collect()], dtype=np.int64
+            )
+        )
         self.t["transitions"].append_local([], TRANSITIONS_SCHEMA, {"op": "init"}, overwrite=True)
         self.t["metrics"].append_local([], METRICS_SCHEMA, {"op": "init"}, overwrite=True)
         self.t["rounds"].append_local([], ROUNDS_SCHEMA, {"op": "init"}, overwrite=True)
@@ -319,9 +334,14 @@ class Crawler:
             .limit(1)
             .collect()
         )
-        self._bloom = None
         if not last:
             self._known_count = self.t["frontier"].read(self.spark).count()
+            self._bloom = PartitionedBloom.build(
+                self.t["frontier"].read(self.spark), "url_hash",
+                n_buckets=self.cfg.n_buckets,
+                expected_per_bucket=max(1000, self.cfg.bloom_expected_keys // self.cfg.n_buckets),
+                fpp=self.cfg.bloom_fpp,
+            )
             return 0
         row = last[0]
         for name, col in (
@@ -332,6 +352,15 @@ class Crawler:
             if self.t[name].current_snapshot_id() != row[col]:
                 self.t[name].rollback(row[col])
         self._known_count = self.t["frontier"].read(self.spark).count()
+        # one distributed rebuild on resume; incremental add_np thereafter
+        known = self.t["frontier"].read(self.spark).select("url_hash").unionByName(
+            self.t["seen"].read(self.spark).select("url_hash")
+        )
+        self._bloom = PartitionedBloom.build(
+            known, "url_hash", n_buckets=self.cfg.n_buckets,
+            expected_per_bucket=max(1000, self.cfg.bloom_expected_keys // self.cfg.n_buckets),
+            fpp=self.cfg.bloom_fpp,
+        )
         return int(row["round"]) + 1
 
     def _commit_empty_round(self, k: int, now_lit, host_state: DataFrame,
@@ -487,15 +516,6 @@ class Crawler:
             # below would otherwise re-run the explode/groupBy repeatedly
             .localCheckpoint(eager=True)
         )
-        if self._bloom is None and self._known_count >= cfg.bloom_min_keys:
-            # one-time distributed build; afterwards maintained incrementally
-            self._bloom = PartitionedBloom.build(
-                known, "url_hash", n_buckets=cfg.n_buckets,
-                expected_per_bucket=max(
-                    1000, cfg.bloom_expected_keys // cfg.n_buckets
-                ),
-                fpp=cfg.bloom_fpp,
-            )
         tick("bloom_build")
         fresh = filter_unseen(links, known, "url_hash", bloom=self._bloom, spark=spark)
         new_rows = (

@@ -90,6 +90,21 @@ class PartitionedBloom:
     # -- build --------------------------------------------------------------
 
     @classmethod
+    def empty(
+        cls, n_buckets: int = 64, expected_per_bucket: int = 100_000, fpp: float = 0.01
+    ) -> "PartitionedBloom":
+        """Empty filter sized like :meth:`build`; populate with add_np.
+
+        A crawl that starts from seeds creates this at init and folds every
+        round's new keys in — no distributed build ever runs on the happy
+        path (resume from a foreign snapshot is the only build case).
+        """
+        m = max(64, int(-expected_per_bucket * math.log(fpp) / (math.log(2) ** 2)))
+        m = ((m + 63) // 64) * 64
+        k = max(1, round(m / expected_per_bucket * math.log(2)))
+        return cls(n_buckets, m, k, {})
+
+    @classmethod
     def build(
         cls,
         df: DataFrame,
