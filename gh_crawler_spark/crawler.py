@@ -406,11 +406,22 @@ class Crawler:
         t_start = time.monotonic()
         prof: dict[str, float] = {}
         _last = [t_start]
+        cached: list = []
 
         def tick(stage: str) -> None:
             t = time.monotonic()
             prof[stage] = round(t - _last[0], 2)
             _last[0] = t
+
+        def materialize(df: DataFrame) -> DataFrame:
+            """Persist + force; released at round end. (localCheckpoint blocks
+            are only freed by GC — across many rounds they pile up and cause
+            erratic JVM memory pressure; explicit persist/unpersist keeps the
+            round's working set bounded. Safe without lineage truncation
+            because every stage is deterministic by construction.)"""
+            df = df.persist()
+            cached.append(df)
+            return df
 
         frontier = self.t["frontier"].read(spark)
         trans = self.t["transitions"].read(spark)
@@ -438,10 +449,12 @@ class Crawler:
             "url", "url_hash", "bucket", "host", "registrable_domain",
             "priority", "next_fetch_ts", "attempt", "discovered_round",
         )
-        batch = batch.localCheckpoint(eager=True)  # reused 4×; cut lineage
+        batch = materialize(batch)  # reused 4×
         n_batch = batch.count()
         tick("schedule")
         if n_batch == 0:
+            for df in cached:
+                df.unpersist(blocking=False)
             return self._commit_empty_round(k, now_lit, host_state, t_start)
 
         # 4-5. fetch (simulated from the pages corpus) + extract -----------
@@ -466,8 +479,9 @@ class Crawler:
             .withColumn("text", F.col("page.text"))
             .withColumn("outlinks", F.col("page.outlinks"))
             .drop("html", "page")
-            .localCheckpoint(eager=True)
         )
+        fetched = materialize(fetched)
+        fetched.count()
         tick("fetch_extract")
         # one aggregation serves status counts AND per-partition lineage
         stage_rows = (
@@ -512,10 +526,10 @@ class Crawler:
             # keep max priority (dropDuplicates would pick an arbitrary row)
             .groupBy("url_hash")
             .agg(F.max("parent_priority").alias("parent_priority"), F.min("url").alias("url"))
-            # materialized once: the bloom probe + anti-join + robots stamp
-            # below would otherwise re-run the explode/groupBy repeatedly
-            .localCheckpoint(eager=True)
         )
+        # materialized once: the bloom probe + anti-join + robots stamp
+        # below would otherwise re-run the explode/groupBy repeatedly
+        links = materialize(links)
         tick("bloom_build")
         fresh = filter_unseen(links, known, "url_hash", bloom=self._bloom, spark=spark)
         new_rows = (
@@ -535,7 +549,7 @@ class Crawler:
             .transform(self._with_robots_allowed)
             .select([f.name for f in FRONTIER_SCHEMA.fields])
         )
-        new_rows = new_rows.localCheckpoint(eager=True)
+        new_rows = materialize(new_rows)
         if self._bloom is not None:
             import numpy as np
 
@@ -650,6 +664,8 @@ class Crawler:
             ROUNDS_SCHEMA,
             {"round": k},
         )
+        for df in cached:
+            df.unpersist(blocking=False)
         self._known_count += n_new
         out = {
             "round": k, "eligible": n_batch, "fetched": n_ok,

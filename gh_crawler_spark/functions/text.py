@@ -5,7 +5,7 @@ content cleaning (collapse ``\\s+`` to one space, strip; reference
 ``src/utils.py:42-49``, ``src/issue_scraper.py:342-364``) and truncation rules
 (``content[:2000] + "..."``; ``src/pr_scraper.py:639-641``). bs4/lxml are not
 available in this sandbox, so the engine defines ONE deterministic pure-Python
-extraction (stdlib ``html.parser``) and uses it in BOTH places:
+extraction and uses it in BOTH places:
 
   * the synthetic-pages datagen writes ``text = extract_text_py(html)`` as the
     oracle column, and
@@ -17,19 +17,24 @@ construction and is asserted row-by-row in tests (SURVEY.md §5.2).
 
 EXTRACTION SPEC:
   1. decode bytes as UTF-8 (errors='replace')
-  2. parse HTML; ignore the contents of <script> <style> <noscript> <template>
-  3. concatenate remaining text nodes (entities unescaped) with ' '
+  2. drop <script>/<style>/<noscript>/<template> blocks and <!-- comments -->
+  3. replace remaining tags with ' '; unescape entities
   4. collapse whitespace runs to a single space; strip ends
+  5. out-links: href of every <a> outside dropped blocks, document order,
+     absolutized (stdlib urljoin), canonicalized, first-occurrence deduped
+     (the ``dict.fromkeys`` idiom mirrors the reference's order-preserving
+     dedup, ``src/pr_scraper.py:294``)
 
-Out-links: every <a href=...>, absolutized against the page URL (stdlib
-urljoin), canonicalized (engine mode), first-occurrence-order deduped — the
-``dict.fromkeys`` idiom mirrors the reference's order-preserving dedup
-(``src/pr_scraper.py:294``).
+Two implementations of the spec live here: the **regex engine** (primary —
+~4-20x faster, this is the hot path at 100 TB) and an ``html.parser``
+reference implementation used as a cross-check in tests; equality over the
+corpus is itself a test (tests/test_text.py::test_fast_equals_parser).
 """
 
 from __future__ import annotations
 
 import re
+from html import unescape
 from html.parser import HTMLParser
 from urllib.parse import urljoin
 
@@ -41,10 +46,80 @@ from gh_crawler_spark.functions.urls import canonicalize_url_py
 
 _SKIP_TAGS = frozenset({"script", "style", "noscript", "template"})
 _WS_RE = re.compile(r"\s+")
+_BLOCK_RE = re.compile(r"<(script|style|noscript|template)\b.*?</\1\s*>", re.I | re.S)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_TAG_RE = re.compile(r"<[^>]*>")
+_HREF_RE = re.compile(r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
+
+
+def _decode(html: bytes | str) -> str:
+    if isinstance(html, (bytes, bytearray)):
+        return bytes(html).decode("utf-8", errors="replace")
+    return html
+
+
+def _strip_blocks(s: str) -> str:
+    return _COMMENT_RE.sub(" ", _BLOCK_RE.sub(" ", s))
+
+
+def extract_text_py(html: bytes | str) -> str:
+    """The byte-identical extraction (spec above). Shared oracle + UDF body."""
+    s = _TAG_RE.sub(" ", _strip_blocks(_decode(html)))
+    if "&" in s:
+        s = unescape(s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def _raw_hrefs(stripped: str) -> list[str]:
+    return [
+        unescape(m.group(1) or m.group(2) or m.group(3) or "")
+        for m in _HREF_RE.finditer(stripped)
+    ]
+
+
+def _canonical_links(hrefs: list[str], base_url: str) -> list[str]:
+    out: list[str] = []
+    for href in hrefs:
+        href = href.strip()
+        if not href or href.startswith("#") or href.lower().startswith(_SKIP_SCHEMES):
+            continue
+        absolute = urljoin(base_url, href)
+        if not absolute.startswith(("http://", "https://")):
+            continue
+        out.append(canonicalize_url_py(absolute))
+    return list(dict.fromkeys(out))
+
+
+def extract_outlinks_py(html: bytes | str, base_url: str) -> list[str]:
+    """Canonicalized out-links, first-occurrence order, deduped."""
+    return _canonical_links(_raw_hrefs(_strip_blocks(_decode(html))), base_url)
+
+
+def extract_page_py(html: bytes | str, base_url: str) -> tuple[str, list[str]]:
+    """Single-pass text + out-links (one decode + one block strip)."""
+    stripped = _strip_blocks(_decode(html))
+    s = _TAG_RE.sub(" ", stripped)
+    if "&" in s:
+        s = unescape(s)
+    text = _WS_RE.sub(" ", s).strip()
+    return text, _canonical_links(_raw_hrefs(stripped), base_url)
+
+
+def truncate_ref(text: str, limit: int) -> str:
+    """Reference truncation rule: ``s[:k] + '...'`` when over the limit
+    (src/pr_scraper.py:639; SURVEY.md L3). Column analog:
+    ``when(length > k, concat(substring(s,1,k), '...')).otherwise(s)``."""
+    return text[:limit] + "..." if len(text) > limit else text
+
+
+# ---------------------------------------------------------------------------
+# html.parser reference implementation (cross-check only; not the hot path)
+# ---------------------------------------------------------------------------
 
 
 class _TextAndLinks(HTMLParser):
-    """Single-pass extractor: text chunks + hrefs."""
+    """Single-pass DOM-ish extractor: text chunks + hrefs (outside skip tags)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -55,7 +130,7 @@ class _TextAndLinks(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
-        elif tag == "a":
+        elif tag == "a" and self._skip_depth == 0:
             for k, v in attrs:
                 if k == "href" and v:
                     self.hrefs.append(v)
@@ -71,42 +146,19 @@ class _TextAndLinks(HTMLParser):
 
 
 def _parse(html: bytes | str) -> _TextAndLinks:
-    if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", errors="replace")
     p = _TextAndLinks()
-    p.feed(html)
+    p.feed(_decode(html))
     return p
 
 
-def extract_text_py(html: bytes | str) -> str:
-    """The byte-identical extraction (spec above). Shared oracle + UDF body."""
+def extract_text_parser_py(html: bytes | str) -> str:
+    """Parser-based implementation of the same spec (test cross-check)."""
     p = _parse(html)
     return _WS_RE.sub(" ", " ".join(p.chunks)).strip()
 
 
-_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
-
-
-def extract_outlinks_py(html: bytes | str, base_url: str) -> list[str]:
-    """Canonicalized out-links, first-occurrence order, deduped."""
-    p = _parse(html)
-    out: list[str] = []
-    for href in p.hrefs:
-        href = href.strip()
-        if not href or href.startswith("#") or href.lower().startswith(_SKIP_SCHEMES):
-            continue
-        absolute = urljoin(base_url, href)
-        if not absolute.startswith(("http://", "https://")):
-            continue
-        out.append(canonicalize_url_py(absolute))
-    return list(dict.fromkeys(out))
-
-
-def truncate_ref(text: str, limit: int) -> str:
-    """Reference truncation rule: ``s[:k] + '...'`` when over the limit
-    (src/pr_scraper.py:639; SURVEY.md L3). Column analog:
-    ``when(length > k, concat(substring(s,1,k), '...')).otherwise(s)``."""
-    return text[:limit] + "..." if len(text) > limit else text
+def extract_outlinks_parser_py(html: bytes | str, base_url: str) -> list[str]:
+    return _canonical_links([h.strip() for h in _parse(html).hrefs], base_url)
 
 
 # ---------------------------------------------------------------------------
@@ -116,6 +168,16 @@ def truncate_ref(text: str, limit: int) -> str:
 @F.pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda h: extract_text_py(h) if h is not None else None)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_outlinks_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            extract_outlinks_py(h, b) if h is not None and b is not None else []
+            for h, b in zip(html, base_url)
+        ]
+    )
 
 
 _PAGE_SCHEMA = T.StructType(
@@ -128,10 +190,9 @@ _PAGE_SCHEMA = T.StructType(
 
 @F.pandas_udf(_PAGE_SCHEMA)
 def extract_page_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
-    """Single-parse extraction: text + out-links from ONE HTML parse per page
-    (the hot-path variant; extract_text_udf/extract_outlinks_udf remain for
-    parity tests). Byte-identical to extract_text_py/extract_outlinks_py —
-    same parser, same post-processing."""
+    """Single-parse extraction: text + out-links in one pass per page (the
+    hot-path variant). Byte-identical to extract_text_py/extract_outlinks_py
+    — same shared spec functions."""
     texts: list[str | None] = []
     links: list[list[str]] = []
     for h, b in zip(html, base_url):
@@ -139,26 +200,7 @@ def extract_page_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
             texts.append(None)
             links.append([])
             continue
-        p = _parse(h)
-        texts.append(_WS_RE.sub(" ", " ".join(p.chunks)).strip())
-        out: list[str] = []
-        for href in p.hrefs:
-            href = href.strip()
-            if not href or href.startswith("#") or href.lower().startswith(_SKIP_SCHEMES):
-                continue
-            absolute = urljoin(b, href)
-            if not absolute.startswith(("http://", "https://")):
-                continue
-            out.append(canonicalize_url_py(absolute))
-        links.append(list(dict.fromkeys(out)))
+        t, ls = extract_page_py(h, b)
+        texts.append(t)
+        links.append(ls)
     return pd.DataFrame({"text": texts, "outlinks": links})
-
-
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def extract_outlinks_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            extract_outlinks_py(h, b) if h is not None and b is not None else []
-            for h, b in zip(html, base_url)
-        ]
-    )

@@ -46,6 +46,23 @@ def test_truncate_ref_rule():
     assert truncate_ref("abcd", 4) == "abcd"
 
 
+def test_fast_equals_parser():
+    """The regex engine and the html.parser reference implement ONE spec:
+    byte-equal text and identical out-links across the synthetic corpus."""
+    from gh_crawler_spark.functions.text import (
+        extract_outlinks_parser_py,
+        extract_text_parser_py,
+    )
+    from gh_crawler_spark.sources.pages import _make_html
+
+    for seed, n, nd, paras in ((7, 400, 40, (1, 6)), (42, 1000, 100, (30, 70))):
+        for i in range(0, 200):
+            h = _make_html(seed, i, n, nd, paras)
+            assert extract_text_py(h) == extract_text_parser_py(h), (seed, i)
+            assert extract_outlinks_py(h, "https://b.org/x") == \
+                extract_outlinks_parser_py(h, "https://b.org/x"), (seed, i)
+
+
 def test_corpus_byte_identical(spark):
     """The per-row invariant (BASELINE.json input_hint): UDF(html) == text
     for every row of the synthetic corpus, compared inside Spark."""
