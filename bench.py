@@ -41,10 +41,12 @@ HEADLINE = [
     "td_text_analysis",
     "td_dedup_exact",
     "td_ngram_jaccard",
+    "td_ngram_jaccard_pruned",
     "td_minhash_lsh",
     "td_simhash",
     "td_ann_cosine",
     "td_media_meta",
+    "x10b_embedded_timeline",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "60000"))

@@ -85,6 +85,18 @@ class CrawlConfig:
     bloom_expected_keys: int = 2_000_000  # sizing for the incremental filter
     token_capacity_s: float = 120.0  # bucket capacity = rate · this
     adaptive_rate: bool = False    # T3: shrink/recover per-host budgets
+    # T5: failed URLs re-enter the frontier after this many virtual seconds
+    # (reference: 7-day failed-cache TTL, src/failed_issue_cache.py:31,52-59);
+    # None = failures are terminal. On expiry the attempt count restarts.
+    failure_ttl_s: float | None = None
+    # T10: fetched URLs become re-eligible after this many virtual seconds
+    # (reference: 30-day checkpoint staleness re-crawl,
+    # src/checkpoint_manager.py:67-99); None = fetch-once.
+    staleness_s: float | None = None
+    # X10/X14/j4b: parse the embedded page-data JSON into a NESTED per-page
+    # entities table (issue number/state + comments array — the reference's
+    # repo -> PR -> comments data model, src/models.py:62-116)
+    extract_entities: bool = False
 
 
 FRONTIER_SCHEMA = T.StructType(
@@ -145,19 +157,46 @@ ROUNDS_SCHEMA = T.StructType(
         T.StructField("host_snap", T.LongType()),
         T.StructField("metrics_snap", T.LongType()),
         T.StructField("transitions_snap", T.LongType()),
+        T.StructField("entities_snap", T.LongType()),
     ]
+)
+
+# Nested per-page entities (X10/X14 + the j4b collect shape): one row per
+# fetched page carrying the parsed issue struct — number, state, and the
+# IssueComment-typed timeline nodes as an array<struct>.
+ENTITIES_DDL = (
+    "url_hash BIGINT, url STRING, round INT, "
+    "issue STRUCT<number: BIGINT, state: STRING, "
+    "comments: ARRAY<STRUCT<body: STRING>>>"
+)
+
+# Schema of the embedded page-data payload written by sources/pages.py
+# (the reference's preloadedQueries nesting, src/issue_scraper.py:408-505)
+PAYLOAD_DDL = (
+    "payload STRUCT<preloadedQueries: ARRAY<STRUCT<result: STRUCT<data: "
+    "STRUCT<repository: STRUCT<issue: STRUCT<number: BIGINT, state: STRING, "
+    "frontTimelineItems: STRUCT<edges: ARRAY<STRUCT<node: "
+    "STRUCT<__typename: STRING, body: STRING>>>>>>>>>>>"
 )
 
 
 class Crawler:
     def __init__(self, spark: SparkSession, cfg: CrawlConfig, pages: DataFrame,
-                 robots: DataFrame | None = None):
+                 robots: DataFrame | None = None,
+                 budget_overrides: DataFrame | None = None):
+        """``budget_overrides`` (W2): optional ``(registrable_domain, budget)``
+        table — the reference's per-repo limit map (REPOSITORY_PR_LIMITS,
+        ``src/config.py:96-102``; applied ``src/aggressive_pr_scraper.py:
+        144-151``). An override CAPS the token-derived budget (politeness
+        still applies): ``host_budget = least(floor(tokens), override)``.
+        Broadcast-joined once per round — at any scale this is a dim table."""
         self.spark = spark
         self.cfg = cfg
+        self.budget_overrides = budget_overrides
         self.t = {
             name: SnapshotTable(cfg.root, name)
             for name in ("frontier", "transitions", "seen", "results", "host_state",
-                         "metrics", "rounds")
+                         "metrics", "rounds", "entities")
         }
         # Fetch-simulation index: the pages corpus keyed by canonical-url
         # hash. Only url/warc_ts/html/lang are read (column pruning keeps
@@ -219,8 +258,12 @@ class Crawler:
         # later per-round overwrite_partitions can only replace bucketed files.
         self.t["frontier"].overwrite_partitions(fr, "bucket", {"op": "init"}, replace_all=True)
 
+        # seen carries the same hash bucket as the frontier; every append is
+        # partitioned by it so the discovery backstop can prune to suspect
+        # buckets (round-1 verdict #3: an unpartitioned seen table is a full
+        # map-side scan per round at 10^10 rows)
         seen0 = self.spark.createDataFrame(
-            [], "url_hash BIGINT, crawl_ts TIMESTAMP"
+            [], "url_hash BIGINT, bucket INT, crawl_ts TIMESTAMP"
         )
         self.t["seen"].overwrite(seen0, {"op": "init"})
         res0 = self.spark.createDataFrame(
@@ -229,6 +272,9 @@ class Crawler:
             "text STRING, lang STRING, round INT",
         )
         self.t["results"].overwrite(res0, {"op": "init"})
+        self.t["entities"].overwrite(
+            self.spark.createDataFrame([], ENTITIES_DDL), {"op": "init"}
+        )
 
         # host_state: one row per registrable domain seen so far; rate from
         # robots crawl_delay (reference analog: 0.1 s/req, src/config.py:81).
@@ -236,14 +282,11 @@ class Crawler:
         hs = self._new_host_rows(domains)
         self.t["host_state"].overwrite(hs, {"op": "init"})
 
-        self._known_count = self.t["frontier"].read(self.spark).count()
+        # distributed fold of the seed keys into the fresh Bloom; the returned
+        # key count doubles as the frontier cardinality (no separate count job)
         self._bloom = self._empty_bloom()
-        import numpy as np
-
-        self._bloom.add_np(
-            np.array(
-                [r["url_hash"] for r in fr.select("url_hash").collect()], dtype=np.int64
-            )
+        self._known_count = self._bloom.add_df(
+            self.t["frontier"].read(self.spark).select("url_hash")
         )
         self.t["transitions"].append_local([], TRANSITIONS_SCHEMA, {"op": "init"}, overwrite=True)
         self.t["metrics"].append_local([], METRICS_SCHEMA, {"op": "init"}, overwrite=True)
@@ -348,6 +391,7 @@ class Crawler:
             ("frontier", "frontier_snap"), ("seen", "seen_snap"),
             ("results", "results_snap"), ("host_state", "host_snap"),
             ("metrics", "metrics_snap"), ("transitions", "transitions_snap"),
+            ("entities", "entities_snap"),
         ):
             if self.t[name].current_snapshot_id() != row[col]:
                 self.t[name].rollback(row[col])
@@ -366,8 +410,11 @@ class Crawler:
     def _commit_empty_round(self, k: int, now_lit, host_state: DataFrame,
                             t_start: float) -> dict:
         """Nothing eligible: only refill token buckets (semantically identical
-        to the full path — refill is idempotent-capped, nothing is spent) and
-        record the round for resume/termination bookkeeping."""
+        to the full host-state fold at zero attempts/failures/successes — the
+        adaptive-rate rules and the trip-and-reset circuit breaker are both
+        no-ops on zero outcomes, and failure_count is < threshold between
+        rounds by the trip-reset invariant) and record the round for
+        resume/termination bookkeeping."""
         cfg = self.cfg
         hs_new = host_state.withColumn(
             "tokens",
@@ -378,7 +425,7 @@ class Crawler:
         wall_ms = int((time.monotonic() - t_start) * 1000)
         snaps = {
             n: self.t[n].current_snapshot_id()
-            for n in ("frontier", "seen", "results", "transitions")
+            for n in ("frontier", "seen", "results", "transitions", "entities")
         }
         metrics_snap = self.t["metrics"].append_local(
             [(k, "fetch", -1, 0, 0, 0, wall_ms, snaps["frontier"])],
@@ -387,7 +434,8 @@ class Crawler:
         )
         self.t["rounds"].append_local(
             [(k, True, 0, 0, 0, 0, wall_ms, snaps["frontier"], snaps["seen"],
-              snaps["results"], host_snap, metrics_snap, snaps["transitions"])],
+              snaps["results"], host_snap, metrics_snap, snaps["transitions"],
+              snaps["entities"])],
             ROUNDS_SCHEMA,
             {"round": k},
         )
@@ -428,10 +476,19 @@ class Crawler:
         host_state = self.t["host_state"].read(spark)
 
         # 1-2. eligibility + politeness gates (latest-wins over the delta) --
+        # T5: expired failures re-enter (their next_fetch_ts was stamped
+        # now+TTL at failure time); T10: stale fetched rows re-enter (stamped
+        # now+staleness at fetch time). Both are plain predicates on columns
+        # the transition already wrote — no extra join or clock table.
         current = self._effective_frontier(frontier, trans)
+        state_ok = F.col("state") == "discovered"
+        if cfg.failure_ttl_s is not None:
+            state_ok = state_ok | (F.col("state") == "failed")
+        if cfg.staleness_s is not None:
+            state_ok = state_ok | (F.col("state") == "fetched")
         elig = (
             current.filter(
-                (F.col("state") == "discovered")
+                state_ok
                 & (F.col("next_fetch_ts") <= now_lit)
                 & F.col("robots_allowed")
             )
@@ -442,7 +499,20 @@ class Crawler:
         avail = refill_tokens(
             F.col("tokens"), F.col("refill_rate"), F.lit(cfg.round_duration_s), F.col("capacity")
         )
-        elig = elig.withColumn("host_budget", F.floor(avail).cast("int")).filter(
+        budget = F.floor(avail).cast("int")
+        if self.budget_overrides is not None:  # W2: per-domain cap
+            elig = elig.join(
+                F.broadcast(
+                    self.budget_overrides.select(
+                        "registrable_domain",
+                        F.col("budget").cast("int").alias("__override_budget"),
+                    )
+                ),
+                "registrable_domain",
+                "left",
+            )
+            budget = F.least(budget, F.coalesce(F.col("__override_budget"), budget))
+        elig = elig.withColumn("host_budget", budget).filter(
             F.col("host_budget") >= 1
         )
         batch = rank_fetch_batch(elig, n_salts=cfg.n_salts).select(
@@ -478,17 +548,20 @@ class Crawler:
             .withColumn("page", extract_page_udf(F.col("html"), F.col("url")))
             .withColumn("text", F.col("page.text"))
             .withColumn("outlinks", F.col("page.outlinks"))
-            .drop("html", "page")
         )
+        if cfg.extract_entities:
+            fetched = fetched.withColumn("embedded_json", F.col("page.embedded_json"))
+        fetched = fetched.drop("html", "page")
         fetched = materialize(fetched)
-        fetched.count()
-        tick("fetch_extract")
-        # one aggregation serves status counts AND per-partition lineage
+        # ONE action materializes fetch+extract AND serves status counts and
+        # per-partition lineage (a separate count() job would re-launch the
+        # scheduler for data this collect already forces)
         stage_rows = (
             fetched.groupBy("fstatus", "pid")
             .agg(F.count("*").alias("n"), F.sum(F.size("outlinks")).alias("raw_links"))
             .collect()
         )
+        tick("fetch_extract")
         n_ok = sum(r["n"] for r in stage_rows if r["fstatus"] == "fetched")
         n_raw_links = sum(r["raw_links"] or 0 for r in stage_rows if r["fstatus"] == "fetched")
         n_transient = sum(r["n"] for r in stage_rows if r["fstatus"] == "transient")
@@ -508,14 +581,107 @@ class Crawler:
             F.lit("fetched").alias("status"), "text", "lang",
             F.lit(k).cast("int").alias("round"),
         )
-        seen_rows = ok.select("url_hash", F.lit(now).alias("crawl_ts"))
-        pool = ThreadPoolExecutor(max_workers=4)
+        seen_rows = ok.select("url_hash", "bucket", F.lit(now).alias("crawl_ts"))
+        # Pin both known-side snapshots BEFORE the background seen append is
+        # submitted: the round's discovery reads a fixed file list and is
+        # immune to the in-flight commit landing mid-round (ADVICE r1 — the
+        # round stays deterministic by construction regardless of thread
+        # timing; this round's fetches are covered by the frontier side).
+        seen_snap0 = self.t["seen"].current_snapshot_id()
+        frontier_snap0 = self.t["frontier"].current_snapshot_id()
+        # Frontier state transitions (section 7 semantically, built here so
+        # the append overlaps discovery — it depends only on the persisted
+        # fetch stage, like results/seen).
+        give_up = F.col("attempt") + 1 >= cfg.max_attempts
+        if cfg.staleness_s is not None:  # T10: stamp re-crawl due time
+            fetched_nft = F.lit(now + dt.timedelta(seconds=cfg.staleness_s))
+            fetched_attempt = F.lit(0).cast("int")
+        else:
+            fetched_nft = F.col("next_fetch_ts")
+            fetched_attempt = F.col("attempt")
+        backoff_nft = backoff_next_fetch_ts(now_lit, F.col("attempt"))
+        if cfg.failure_ttl_s is not None:  # T5: stamp expiry; attempts restart
+            failed_nft = F.lit(now + dt.timedelta(seconds=cfg.failure_ttl_s))
+            failed_attempt = F.lit(0).cast("int")
+        else:
+            failed_nft = F.col("next_fetch_ts")
+            failed_attempt = F.col("attempt")
+        changed = (
+            ok.select("url_hash", F.lit("fetched").alias("new_state"),
+                      fetched_nft.alias("new_nft"), fetched_attempt.alias("new_attempt"))
+            .unionByName(
+                missing.select("url_hash", F.lit("failed").alias("new_state"),
+                               failed_nft.alias("new_nft"),
+                               failed_attempt.alias("new_attempt"))
+            )
+            .unionByName(
+                failed_transient.select(
+                    "url_hash",
+                    F.when(give_up, "failed").otherwise("discovered").alias("new_state"),
+                    (
+                        F.when(give_up, failed_nft).otherwise(backoff_nft)
+                        if cfg.failure_ttl_s is not None
+                        else backoff_nft
+                    ).alias("new_nft"),
+                    (
+                        F.when(give_up, failed_attempt).otherwise(F.col("attempt") + 1)
+                        if cfg.failure_ttl_s is not None
+                        else F.col("attempt") + 1
+                    ).cast("int").alias("new_attempt"),
+                )
+            )
+        )
+        trans_rows = changed.select(
+            "url_hash",
+            F.col("new_state").alias("state"),
+            F.col("new_nft").alias("next_fetch_ts"),
+            F.col("new_attempt").alias("attempt"),
+            F.lit(k).cast("int").alias("round"),
+        )
+        pool = ThreadPoolExecutor(max_workers=5)
         fut_results = pool.submit(self.t["results"].append, results_rows, {"round": k})
-        fut_seen = pool.submit(self.t["seen"].append, seen_rows, {"round": k})
+        fut_seen = pool.submit(
+            self.t["seen"].append, seen_rows, {"round": k}, "bucket"
+        )
+        fut_trans = pool.submit(self.t["transitions"].append, trans_rows, {"round": k})
+        fut_entities = None
+        if cfg.extract_entities:
+            # nested per-page entities: parse the embedded payload with an
+            # explicit schema (JVM from_json), keep comments NESTED as
+            # array<struct> — the reference's repo->issue->comments model
+            issue = F.element_at(
+                F.from_json("embedded_json", PAYLOAD_DDL)["payload"]["preloadedQueries"], 1
+            )["result"]["data"]["repository"]["issue"]
+            comments = F.transform(
+                F.filter(
+                    issue["frontTimelineItems"]["edges"],
+                    lambda e: e["node"]["__typename"] == "IssueComment",
+                ),
+                lambda e: F.struct(e["node"]["body"].alias("body")),
+            )
+            entities_rows = ok.filter(F.col("embedded_json").isNotNull()).select(
+                "url_hash",
+                "url",
+                F.lit(k).cast("int").alias("round"),
+                F.struct(
+                    issue["number"].alias("number"),
+                    issue["state"].alias("state"),
+                    comments.alias("comments"),
+                ).alias("issue"),
+            )
+            fut_entities = pool.submit(
+                self.t["entities"].append, entities_rows, {"round": k}
+            )
 
         # 6. discovery: out-links -> new frontier rows ---------------------
-        seen = self.t["seen"].read(spark)
-        known = frontier.select("url_hash").unionByName(seen.select("url_hash"))
+        def known_loader(buckets: list[int]) -> DataFrame:
+            """Known keys (frontier ∪ seen) restricted to the given hash
+            buckets — both tables are bucket-partitioned, so the backstop
+            anti-join reads only files that can hold a duplicate."""
+            fr = self.t["frontier"].read_partitions(spark, "bucket", buckets, frontier_snap0)
+            sn = self.t["seen"].read_partitions(spark, "bucket", buckets, seen_snap0)
+            return fr.select("url_hash").unionByName(sn.select("url_hash"))
+
         links = (
             ok.select(
                 F.col("priority").alias("parent_priority"),
@@ -531,7 +697,10 @@ class Crawler:
         # below would otherwise re-run the explode/groupBy repeatedly
         links = materialize(links)
         tick("bloom_build")
-        fresh = filter_unseen(links, known, "url_hash", bloom=self._bloom, spark=spark)
+        fresh = filter_unseen(
+            links, key_col="url_hash", bloom=self._bloom, spark=spark,
+            seen_loader=known_loader, n_buckets=cfg.n_buckets,
+        )
         new_rows = (
             fresh.withColumn("bucket", bucket_expr(F.col("url_hash"), cfg.n_buckets))
             .withColumn("host", host_expr(F.col("url")))
@@ -550,42 +719,15 @@ class Crawler:
             .select([f.name for f in FRONTIER_SCHEMA.fields])
         )
         new_rows = materialize(new_rows)
+        # Distributed incremental Bloom maintenance: per-bucket delta bitmaps
+        # built executor-side, OR-merged on the driver — no collect() of raw
+        # url_hashes, and the returned key count IS n_new (one job serves
+        # bloom-add + discovery count).
         if self._bloom is not None:
-            import numpy as np
-
-            self._bloom.add_np(
-                np.array([r["url_hash"] for r in new_rows.select("url_hash").collect()],
-                         dtype=np.int64)
-            )
-        n_new = new_rows.count()
+            n_new = self._bloom.add_df(new_rows.select("url_hash"))
+        else:
+            n_new = new_rows.count()
         tick("discover")
-
-        # 7. frontier state transitions ------------------------------------
-        give_up = F.col("attempt") + 1 >= cfg.max_attempts
-        changed = (
-            ok.select("url_hash", F.lit("fetched").alias("new_state"),
-                      F.col("next_fetch_ts").alias("new_nft"), F.col("attempt").alias("new_attempt"))
-            .unionByName(
-                missing.select("url_hash", F.lit("failed").alias("new_state"),
-                               F.col("next_fetch_ts").alias("new_nft"),
-                               F.col("attempt").alias("new_attempt"))
-            )
-            .unionByName(
-                failed_transient.select(
-                    "url_hash",
-                    F.when(give_up, "failed").otherwise("discovered").alias("new_state"),
-                    backoff_next_fetch_ts(now_lit, F.col("attempt")).alias("new_nft"),
-                    (F.col("attempt") + 1).cast("int").alias("new_attempt"),
-                )
-            )
-        )
-        trans_rows = changed.select(
-            "url_hash",
-            F.col("new_state").alias("state"),
-            F.col("new_nft").alias("next_fetch_ts"),
-            F.col("new_attempt").alias("attempt"),
-            F.lit(k).cast("int").alias("round"),
-        )
 
         # host_state: spend tokens, fold failures into the breaker ---------
         per_host = batch.groupBy("registrable_domain").agg(F.count("*").alias("attempted"))
@@ -627,12 +769,15 @@ class Crawler:
         # ------------------------------------------------- commits (S7/T6)
         tick("plan_updates")
         fut_frontier = pool.submit(self.t["frontier"].append, new_rows, {"round": k})
-        fut_trans = pool.submit(self.t["transitions"].append, trans_rows, {"round": k})
         host_snap = self.t["host_state"].overwrite(hs_new, {"round": k})
         frontier_snap = fut_frontier.result()
         transitions_snap = fut_trans.result()
         results_snap = fut_results.result()
         seen_snap = fut_seen.result()
+        entities_snap = (
+            fut_entities.result() if fut_entities is not None
+            else self.t["entities"].current_snapshot_id()
+        )
         pool.shutdown()
         tick("w_all")
 
@@ -658,7 +803,7 @@ class Crawler:
                 (
                     k, True, n_ok, int(n_transient + n_missing), n_new, n_batch,
                     wall_ms, frontier_snap, seen_snap, results_snap, host_snap,
-                    metrics_snap, transitions_snap,
+                    metrics_snap, transitions_snap, entities_snap,
                 )
             ],
             ROUNDS_SCHEMA,

@@ -51,6 +51,12 @@ _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _TAG_RE = re.compile(r"<[^>]*>")
 _HREF_RE = re.compile(r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
+# Embedded page-data payload (the reference scrapes React preloadedQueries
+# JSON out of a script tag, src/issue_scraper.py:408-505); matched on the RAW
+# html — block-stripping would delete it (it is invisible to text/links).
+_EMBED_RE = re.compile(
+    r'<script type="application/json" id="page-data">(.*?)</script>', re.S
+)
 
 
 def _decode(html: bytes | str) -> str:
@@ -96,14 +102,24 @@ def extract_outlinks_py(html: bytes | str, base_url: str) -> list[str]:
     return _canonical_links(_raw_hrefs(_strip_blocks(_decode(html))), base_url)
 
 
-def extract_page_py(html: bytes | str, base_url: str) -> tuple[str, list[str]]:
-    """Single-pass text + out-links (one decode + one block strip)."""
-    stripped = _strip_blocks(_decode(html))
+def extract_embedded_json_py(html: bytes | str) -> str | None:
+    """Raw embedded page-data JSON payload, or None when absent (X10)."""
+    m = _EMBED_RE.search(_decode(html))
+    return m.group(1) if m else None
+
+
+def extract_page_py(
+    html: bytes | str, base_url: str
+) -> tuple[str, list[str], str | None]:
+    """Single-pass text + out-links + embedded JSON (one decode, one strip)."""
+    decoded = _decode(html)
+    stripped = _strip_blocks(decoded)
     s = _TAG_RE.sub(" ", stripped)
     if "&" in s:
         s = unescape(s)
     text = _WS_RE.sub(" ", s).strip()
-    return text, _canonical_links(_raw_hrefs(stripped), base_url)
+    m = _EMBED_RE.search(decoded)
+    return text, _canonical_links(_raw_hrefs(stripped), base_url), (m.group(1) if m else None)
 
 
 def truncate_ref(text: str, limit: int) -> str:
@@ -184,23 +200,27 @@ _PAGE_SCHEMA = T.StructType(
     [
         T.StructField("text", T.StringType()),
         T.StructField("outlinks", T.ArrayType(T.StringType())),
+        T.StructField("embedded_json", T.StringType()),
     ]
 )
 
 
 @F.pandas_udf(_PAGE_SCHEMA)
 def extract_page_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
-    """Single-parse extraction: text + out-links in one pass per page (the
-    hot-path variant). Byte-identical to extract_text_py/extract_outlinks_py
-    — same shared spec functions."""
+    """Single-parse extraction: text + out-links + embedded page-data JSON in
+    one pass per page (the hot-path variant). Byte-identical to
+    extract_text_py/extract_outlinks_py — same shared spec functions."""
     texts: list[str | None] = []
     links: list[list[str]] = []
+    embeds: list[str | None] = []
     for h, b in zip(html, base_url):
         if h is None:
             texts.append(None)
             links.append([])
+            embeds.append(None)
             continue
-        t, ls = extract_page_py(h, b)
+        t, ls, ej = extract_page_py(h, b)
         texts.append(t)
         links.append(ls)
-    return pd.DataFrame({"text": texts, "outlinks": links})
+        embeds.append(ej)
+    return pd.DataFrame({"text": texts, "outlinks": links, "embedded_json": embeds})

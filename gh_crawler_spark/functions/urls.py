@@ -161,8 +161,14 @@ def canonicalize_url_expr(url: Column, mode: str = "engine") -> Column:
 
 
 def host_expr(canonical_url: Column) -> Column:
-    """Host (incl. non-default port) of an already-canonical URL."""
-    return F.split(F.substring_index(canonical_url, "://", -1), "/", 2).getItem(0)
+    """Host (incl. non-default port) of an already-canonical URL.
+
+    Splits on the FIRST '://' — a canonical URL may legitimately carry
+    '://' inside query params (redirect/share links), and the simulator's
+    ``_host_of`` splits on the first occurrence; ``substring_index(..., -1)``
+    would attribute such URLs to the embedded host.
+    """
+    return F.split(F.split(canonical_url, "://", 2).getItem(1), "/", 2).getItem(0)
 
 
 def registrable_domain_expr(host: Column) -> Column:

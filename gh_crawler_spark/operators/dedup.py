@@ -40,6 +40,38 @@ _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
 _MIX2 = np.uint64(0x94D049BB133111EB)
 
 
+def _bucket_bitmaps(
+    df: DataFrame, key_col: str, n_buckets: int, m: int, k: int,
+    with_count: bool = False,
+) -> DataFrame:
+    """(bucket, bitmap[, n_keys]) — one Bloom bitmap per key-bucket, built by
+    a grouped-map pandas UDF. Shared by :meth:`PartitionedBloom.build` (full
+    rebuild) and :meth:`PartitionedBloom.add_df` (incremental delta)."""
+    fields = [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("bitmap", T.BinaryType()),
+    ]
+    if with_count:
+        fields.append(T.StructField("n_keys", T.LongType()))
+    out_schema = T.StructType(fields)
+
+    def build_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        h = pdf[key_col].to_numpy()
+        for pos in _positions(h, k, m):
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        out = {"bucket": [int(pdf["__bucket"].iloc[0])], "bitmap": [bits.tobytes()]}
+        if with_count:
+            out["n_keys"] = [len(h)]
+        return pd.DataFrame(out)
+
+    return (
+        df.select(F.col(key_col), F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int").alias("__bucket"))
+        .groupBy("__bucket")
+        .applyInPandas(build_bucket, schema=out_schema)
+    )
+
+
 def _positions(h: np.ndarray, k: int, m: int) -> Iterator[np.ndarray]:
     """k deterministic bit positions per 64-bit key (double-hashing scheme)."""
     h = h.astype(np.uint64)
@@ -73,7 +105,8 @@ class PartitionedBloom:
         self.bitmaps = bitmaps  # bucket -> uint8 bit array (little-endian)
 
     def add_np(self, keys: np.ndarray) -> None:
-        """Fold new 64-bit keys into the bucket bitmaps (driver-side)."""
+        """Fold new 64-bit keys into the bucket bitmaps (driver-side numpy;
+        test/tool path — the crawl loop uses the distributed :meth:`add_df`)."""
         if len(keys) == 0:
             return
         keys = np.asarray(keys, dtype=np.int64)
@@ -86,6 +119,33 @@ class PartitionedBloom:
             sub = keys[buckets == b].astype(np.uint64)
             for pos in _positions(sub, self.k, self.bits_per_bucket):
                 np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    def add_df(self, df: DataFrame, key_col: str = "url_hash") -> int:
+        """Fold new keys in DISTRIBUTED: per-bucket delta bitmaps are built by
+        a grouped-map pandas UDF (only buckets that gained keys produce one),
+        shipped to the driver as one binary cell per touched bucket, and
+        OR-merged into the held filter. Returns the number of keys folded.
+
+        The driver never sees raw keys — per-round transfer is
+        O(touched_buckets × bitmap_bytes), not O(new keys) (round-1 verdict:
+        the previous per-round ``collect()`` of url_hashes was the flagship
+        pipeline's one serial collection point and an OOM risk at 10^7+
+        new URLs/round). The returned count doubles as the round's n_new so
+        callers don't need a separate ``count()`` job.
+        """
+        rows = _bucket_bitmaps(
+            df, key_col, self.n_buckets, self.bits_per_bucket, self.k, with_count=True
+        ).collect()
+        total = 0
+        for r in rows:
+            total += int(r["n_keys"])
+            delta = np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8)
+            bits = self.bitmaps.get(int(r["bucket"]))
+            if bits is None:
+                self.bitmaps[int(r["bucket"])] = delta.copy()
+            else:
+                np.bitwise_or(bits, delta, out=bits)
+        return total
 
     # -- build --------------------------------------------------------------
 
@@ -121,29 +181,7 @@ class PartitionedBloom:
         m = max(64, int(-expected_per_bucket * math.log(fpp) / (math.log(2) ** 2)))
         m = ((m + 63) // 64) * 64
         k = max(1, round(m / expected_per_bucket * math.log(2)))
-
-        out_schema = T.StructType(
-            [
-                T.StructField("bucket", T.IntegerType()),
-                T.StructField("bitmap", T.BinaryType()),
-            ]
-        )
-
-        def build_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-            bits = np.zeros(m // 8, dtype=np.uint8)
-            h = pdf[key_col].to_numpy()
-            for pos in _positions(h, k, m):
-                np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-            return pd.DataFrame(
-                {"bucket": [int(pdf["__bucket"].iloc[0])], "bitmap": [bits.tobytes()]}
-            )
-
-        rows = (
-            df.select(F.col(key_col), F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int").alias("__bucket"))
-            .groupBy("__bucket")
-            .applyInPandas(build_bucket, schema=out_schema)
-            .collect()
-        )
+        rows = _bucket_bitmaps(df, key_col, n_buckets, m, k).collect()
         return cls(
             n_buckets, m, k,
             {r["bucket"]: np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8).copy() for r in rows},
@@ -187,11 +225,13 @@ class PartitionedBloom:
 
 def filter_unseen(
     candidates: DataFrame,
-    seen: DataFrame,
+    seen: DataFrame | None = None,
     key_col: str = "url_hash",
     bloom: PartitionedBloom | None = None,
     spark=None,
     broadcast_candidates: bool = True,
+    seen_loader=None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """J1: candidates not in the seen set (Bloom prefilter + exact anti-join).
 
@@ -204,10 +244,22 @@ def filter_unseen(
     broadcast, ``seen`` is scanned map-side for hits (left_semi with the
     broadcast probe), and the small hit set is broadcast back for the final
     anti-join — the seen table is never shuffled.
-    """
-    seen_keys = seen.select(key_col)
 
-    def anti(cands: DataFrame) -> DataFrame:
+    ``seen_loader`` (alternative to ``seen``; requires ``bloom`` and
+    ``n_buckets``) takes the pruning one step further: the backstop scan reads
+    only the key-buckets that actually contain Bloom-positive suspects.
+    ``seen_loader(buckets)`` must return the seen keys for those
+    ``pmod(key, n_buckets)`` buckets (e.g. a SnapshotTable.read_partitions
+    over a bucket-partitioned table). At 10^10 seen rows this turns the
+    per-round backstop from a full-table map-side scan into a read of the
+    handful of files that can possibly hold a duplicate. One tiny extra job
+    (distinct buckets of the suspect slice, which is ≤ fpp·|candidates| +
+    true-dup rows) buys file-level pruning of the biggest table in the system.
+    """
+    if (seen is None) == (seen_loader is None):
+        raise ValueError("pass exactly one of seen / seen_loader")
+
+    def anti(cands: DataFrame, seen_keys: DataFrame) -> DataFrame:
         if broadcast_candidates:
             hits = seen_keys.join(
                 F.broadcast(cands.select(key_col)), key_col, "left_semi"
@@ -216,12 +268,26 @@ def filter_unseen(
         return cands.join(seen_keys, key_col, "left_anti")
 
     if bloom is None:
-        return anti(candidates)
+        return anti(candidates, seen.select(key_col))
     probe = bloom.might_contain_udf(spark or candidates.sparkSession)
     flagged = candidates.withColumn("__maybe_seen", probe(F.col(key_col)))
     definite_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    return definite_new.unionByName(anti(suspects))
+    if seen_loader is not None:
+        if n_buckets is None:
+            raise ValueError("seen_loader requires n_buckets")
+        suspect_buckets = [
+            int(r["b"])
+            for r in suspects.select(
+                F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int").alias("b")
+            ).distinct().collect()
+        ]
+        if not suspect_buckets:
+            return definite_new
+        seen_keys = seen_loader(suspect_buckets).select(key_col)
+    else:
+        seen_keys = seen.select(key_col)
+    return definite_new.unionByName(anti(suspects, seen_keys))
 
 
 def bucket_expr(key: Column, n_buckets: int) -> Column:

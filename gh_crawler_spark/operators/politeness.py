@@ -124,20 +124,23 @@ def apply_circuit_breaker(
     """T4: fold this round's outcomes into the breaker state.
 
     Success resets the consecutive-failure count (reference
-    ``src/failed_issue_cache.py:156-160``); reaching CIRCUIT_FAILURES sets
-    ``blocked_until = now + 300 s``.
+    ``src/failed_issue_cache.py:156-160``); CROSSING CIRCUIT_FAILURES sets
+    ``blocked_until = now + 300 s`` and resets the count, so a tripped host
+    recovers when the block lapses instead of being re-stamped every round
+    while idle (ADVICE r1: a blocked host gets no successes and no new
+    failures, so a count that stays >= threshold would re-arm forever).
     """
     fc = F.when(F.col(successes_this_round_col) > 0, F.lit(0)).otherwise(
         F.col("failure_count") + F.col(failures_this_round_col)
     )
+    tripped = fc >= CIRCUIT_FAILURES
     return (
-        host_state.withColumn("failure_count", fc.cast("int"))
-        .withColumn(
+        host_state.withColumn(
             "blocked_until",
             F.when(
-                F.col("failure_count") >= CIRCUIT_FAILURES,
-                F.timestamp_add("SECOND", F.lit(CIRCUIT_BLOCK_S), now_ts),
+                tripped, F.timestamp_add("SECOND", F.lit(CIRCUIT_BLOCK_S), now_ts)
             ).otherwise(F.col("blocked_until")),
         )
+        .withColumn("failure_count", F.when(tripped, F.lit(0)).otherwise(fc).cast("int"))
         .drop(failures_this_round_col, successes_this_round_col)
     )

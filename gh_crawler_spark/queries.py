@@ -259,12 +259,14 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q_a5_progress_summary(spark, sf_dir):
-    """A5: coverage summary with percentage."""
+    """A5: coverage summary with percentage. The grand total comes from an
+    empty-frame window over the ALREADY-AGGREGATED per-type counts (a handful
+    of rows), not a separate count() job — the plan stays one pass."""
     ev = _t(spark, sf_dir, "events")
-    total = ev.count()
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.count("*") / F.lit(total) * 100, 4).alias("pct"),
+    per_type = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return per_type.select(
+        "event_type", "n", F.round(F.col("n") / total * 100, 4).alias("pct")
     )
 
 
@@ -896,7 +898,8 @@ def q_td_lsh_ann(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=8)
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5,
+                    n_planes=8, n_tables=2)
 
 
 def q_td_media_meta(spark, sf_dir):
@@ -988,6 +991,300 @@ FROM ranked WHERE rk <= 10
 """
 
 
+def q_x4_entity_id(spark, sf_dir):
+    """X4: entity id from URL path — the reference's ``/pull/(\\d+)`` probe
+    (src/pr_scraper.py:556-565), over a synthesized pull-request URL."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://git.example/"), F.col("source"),
+        F.lit("/pull/"), F.col("doc_id").cast("string"), F.lit("?tab=files"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_extract(url, r"/pull/(\d+)", 1).cast("long").alias("pr_number"),
+    )
+
+
+SQL_X4 = r"""
+SELECT doc_id,
+       'https://git.example/' || source || '/pull/' || CAST(doc_id AS VARCHAR) || '?tab=files' AS url,
+       CAST(regexp_extract('https://git.example/' || source || '/pull/' || CAST(doc_id AS VARCHAR) || '?tab=files',
+                           '/pull/(\d+)', 1) AS BIGINT) AS pr_number
+FROM documents
+"""
+
+
+def q_x9_sha_extract(spark, sf_dir):
+    """X9: hex-SHA extraction + validation (src/commit_scraper.py:326-345) —
+    pull the 32-hex digest out of surrounding prose and validate its shape."""
+    d = _t(spark, sf_dir, "documents")
+    prose = F.concat(F.lit("commit "), F.md5("text"), F.lit(" fixed the build"))
+    sha = F.regexp_extract(prose, r"\b([0-9a-f]{32})\b", 1)
+    return d.select(
+        "doc_id",
+        sha.alias("sha"),
+        ((F.length(sha) == 32) & sha.rlike("^[0-9a-f]+$")).alias("valid"),
+    )
+
+
+SQL_X9 = r"""
+SELECT doc_id,
+       regexp_extract('commit ' || md5(text) || ' fixed the build', '\b([0-9a-f]{32})\b', 1) AS sha,
+       (length(regexp_extract('commit ' || md5(text) || ' fixed the build', '\b([0-9a-f]{32})\b', 1)) = 32
+        AND regexp_matches(regexp_extract('commit ' || md5(text) || ' fixed the build', '\b([0-9a-f]{32})\b', 1), '^[0-9a-f]+$')) AS valid
+FROM documents
+"""
+
+
+# X10 (real): the reference walks payload.preloadedQueries[].result.data.
+# repository.issue.frontTimelineItems.edges filtering __typename ==
+# 'IssueComment' (src/issue_scraper.py:408-505,507-557). The fixture embeds
+# that exact nesting as a JSON string; the engine recovers it with an explicit
+# nested StructType + from_json + explode + filter — all JVM-side.
+_X10B_SCHEMA = (
+    "payload STRUCT<preloadedQueries: ARRAY<STRUCT<result: STRUCT<data: "
+    "STRUCT<repository: STRUCT<issue: STRUCT<number: BIGINT, state: STRING, "
+    "frontTimelineItems: STRUCT<edges: ARRAY<STRUCT<node: "
+    "STRUCT<__typename: STRING, body: STRING>>>>>>>>>>>"
+)
+
+
+def _x10b_json_spark():
+    state = (
+        F.when(F.col("doc_id") % 3 == 0, "open")
+        .when(F.col("doc_id") % 3 == 1, "closed")
+        .otherwise("merged")
+    )
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit('{"payload":{"preloadedQueries":[{"result":{"data":{"repository":'
+              '{"issue":{"number":'), did,
+        F.lit(',"state":"'), state,
+        F.lit('","frontTimelineItems":{"edges":['
+              '{"node":{"__typename":"IssueComment","body":"b'), did, F.lit('-1"}},'
+              '{"node":{"__typename":"CrossReferencedEvent","body":"x"}},'
+              '{"node":{"__typename":"IssueComment","body":"b'), did,
+        F.lit('-2"}}]}}}}}}]}}'),
+    )
+
+
+def q_x10b_embedded_timeline(spark, sf_dir):
+    """X10 (deep): 5-level nested embedded-JSON extraction with typename
+    filtering — explicit schema, from_json, explode; no Python."""
+    d = _t(spark, sf_dir, "documents")
+    parsed = d.select(
+        "doc_id", F.from_json(_x10b_json_spark(), _X10B_SCHEMA).alias("j")
+    )
+    q = parsed.select(
+        "doc_id", F.explode("j.payload.preloadedQueries").alias("pq")
+    ).select("doc_id", F.col("pq.result.data.repository.issue").alias("issue"))
+    return (
+        q.select(
+            "doc_id",
+            F.col("issue.number").alias("issue_number"),
+            F.col("issue.state").alias("issue_state"),
+            F.explode("issue.frontTimelineItems.edges").alias("e"),
+        )
+        .filter(F.col("e.node.__typename") == "IssueComment")
+        .select("doc_id", "issue_number", "issue_state",
+                F.col("e.node.body").alias("body"))
+    )
+
+
+# Oracle: the fixture is deterministic, so the expected rows are derivable
+# directly — 2 IssueComment bodies per doc; the engine must recover exactly
+# these values from the nested JSON for the hashes to match.
+SQL_X10B = """
+SELECT doc_id,
+       CAST(doc_id AS BIGINT) AS issue_number,
+       CASE WHEN doc_id % 3 = 0 THEN 'open'
+            WHEN doc_id % 3 = 1 THEN 'closed' ELSE 'merged' END AS issue_state,
+       'b' || CAST(doc_id AS VARCHAR) || '-' || CAST(seq AS VARCHAR) AS body
+FROM documents, (VALUES (1), (2)) AS t(seq)
+"""
+
+
+def q_x11_content_cleaning(spark, sf_dir):
+    """X11: UI-boilerplate removal pass (reference strips 'Skip to content',
+    nav/footer chrome etc., src/issue_scraper.py:342-364) + whitespace
+    collapse, over text dirtied with known chrome."""
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("Skip to content\nSign in to comment\n"),
+        F.col("text"),
+        F.lit("\nLoading\nWrite Preview"),
+    )
+    ui = r"(?i)(skip to content|sign in to comment|write preview|^loading$)"
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(dirty, ui, ""), r"\s+", " ")
+    )
+    return d.select("doc_id", cleaned.alias("cleaned"))
+
+
+SQL_X11 = r"""
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace('Skip to content' || chr(10) || 'Sign in to comment' || chr(10) || text || chr(10) || 'Loading' || chr(10) || 'Write Preview',
+                   '(?i)(skip to content|sign in to comment|write preview|^loading$)', '', 'g'),
+    '\s+', ' ', 'g')) AS cleaned
+FROM documents
+"""
+
+
+def q_x14_state_classify(spark, sf_dir):
+    """X14: content-derived state classification — the reference probes page
+    text for merged/closed/open markers (src/pr_scraper.py:583-610)."""
+    d = _t(spark, sf_dir, "documents")
+    probe = F.concat(
+        F.lit("Status: "),
+        F.when(F.col("doc_id") % 4 == 0, "was merged into main")
+        .when(F.col("doc_id") % 4 == 1, "closed this as not planned")
+        .when(F.col("doc_id") % 4 == 2, "wants to merge 3 commits")
+        .otherwise("opened this issue"),
+    )
+    state = (
+        F.when(probe.contains("was merged"), "merged")
+        .when(probe.contains("closed this"), "closed")
+        .otherwise("open")
+    )
+    return d.select("doc_id", probe.alias("probe_text"), state.alias("state"))
+
+
+SQL_X14 = """
+SELECT doc_id,
+  'Status: ' || CASE WHEN doc_id % 4 = 0 THEN 'was merged into main'
+                     WHEN doc_id % 4 = 1 THEN 'closed this as not planned'
+                     WHEN doc_id % 4 = 2 THEN 'wants to merge 3 commits'
+                     ELSE 'opened this issue' END AS probe_text,
+  CASE WHEN doc_id % 4 = 0 THEN 'merged'
+       WHEN doc_id % 4 = 1 THEN 'closed' ELSE 'open' END AS state
+FROM documents
+"""
+
+
+def q_j8_short_sha_join(spark, sf_dir):
+    """J8: short-prefix -> full-hash resolution (src/commit_scraper.py:
+    206-231): references carry an 8-char prefix; resolve by equi-joining on
+    ``substring(full, 1, 8)`` — a plain join key, never a LIKE scan."""
+    d = _t(spark, sf_dir, "documents")
+    shas = d.select("doc_id", F.md5("text").alias("sha"))
+    refs = d.select(
+        F.col("doc_id").alias("ref_doc"),
+        F.substring(F.md5("text"), 1, 8).alias("short_sha"),
+    )
+    return (
+        refs.join(shas, F.substring(F.col("sha"), 1, 8) == F.col("short_sha"))
+        .select("ref_doc", F.col("doc_id").alias("resolved_doc"), "sha", "short_sha")
+    )
+
+
+SQL_J8 = """
+WITH shas AS (SELECT doc_id, md5(text) AS sha FROM documents),
+refs AS (SELECT doc_id AS ref_doc, substr(md5(text), 1, 8) AS short_sha FROM documents)
+SELECT ref_doc, s.doc_id AS resolved_doc, sha, short_sha
+FROM refs JOIN shas s ON substr(s.sha, 1, 8) = refs.short_sha
+"""
+
+
+def q_t5_failure_ttl(spark, sf_dir):
+    """T5: failed-entry TTL expiry (reference 7-day failed cache,
+    src/failed_issue_cache.py:31,52-59): stamp expiry at failure time, an
+    entry is retryable when the clock passes it."""
+    ev = _t(spark, sf_dir, "events")
+    expires = F.timestamp_add("DAY", F.lit(7), F.col("ts"))
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            F.date_format(expires, "yyyy-MM-dd HH:mm:ss").alias("expires_ts"),
+            (expires <= F.lit("2024-01-10 00:00:00").cast("timestamp")).alias("retryable"),
+        )
+    )
+
+
+SQL_T5 = """
+SELECT event_id,
+       strftime(ts + INTERVAL 7 DAY, '%Y-%m-%d %H:%M:%S') AS expires_ts,
+       (ts + INTERVAL 7 DAY <= TIMESTAMP '2024-01-10 00:00:00') AS retryable
+FROM events WHERE event_type = 'error'
+"""
+
+
+def q_w2_budget_override(spark, sf_dir):
+    """W2: per-key budget with an override table — the reference's
+    REPOSITORY_PR_LIMITS map (src/config.py:96-102): override CAPS the
+    token-derived budget, missing keys keep it."""
+    ev = _t(spark, sf_dir, "events")
+    base = F.floor(F.round(F.sum("value"), 4)).cast("long")
+    override = F.when(F.col("user_id") % 10 == 0, F.lit(3).cast("long"))
+    return (
+        ev.groupBy("user_id")
+        .agg(base.alias("base_budget"))
+        .select(
+            "user_id",
+            "base_budget",
+            F.least(F.col("base_budget"), F.coalesce(override, F.col("base_budget")))
+            .alias("budget"),
+        )
+    )
+
+
+SQL_W2 = """
+SELECT user_id, base_budget,
+       least(base_budget, coalesce(CASE WHEN user_id % 10 = 0 THEN 3 END, base_budget)) AS budget
+FROM (SELECT user_id, CAST(floor(round(sum(value), 4)) AS BIGINT) AS base_budget
+      FROM events GROUP BY user_id)
+"""
+
+
+def q_a9_cache_stats(spark, sf_dir):
+    """A9: cache-statistics rollup (reference unified_cache_manager stats,
+    src/unified_cache_manager.py:433-459): totals + hit rate per source."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("entries"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.round(F.count("*") / F.sum(F.count("*")).over(Window.partitionBy()), 6)
+        .alias("share"),
+    )
+
+
+SQL_A9 = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS entries,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+FROM events GROUP BY event_type
+"""
+
+
+def q_td_ngram_jaccard_pruned(spark, sf_dir):
+    """Hot-shingle drop (the 100-TB path of the Jaccard verifier): shingles
+    appearing in more than ``max_shingle_doc_freq`` docs are dropped BEFORE
+    the inverted-index self-join — stopword shingles carry the skew."""
+    from gh_crawler_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.2, max_shingle_doc_freq=20
+    )
+
+
+SQL_TD_JACCARD_PRUNED = rf"""
+WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 20),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep ON keep.s = sh0.s),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT d1, d2, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1043,4 +1340,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "td_lsh_ann": (q_td_lsh_ann, None),
     "td_media_meta": (q_td_media_meta, SQL_TD_MEDIA),
     "td_frame_sample": (q_td_frame_sample, SQL_TD_FRAMES),
+    "x4_entity_id": (q_x4_entity_id, SQL_X4),
+    "x9_sha_extract": (q_x9_sha_extract, SQL_X9),
+    "x10b_embedded_timeline": (q_x10b_embedded_timeline, SQL_X10B),
+    "x11_content_cleaning": (q_x11_content_cleaning, SQL_X11),
+    "x14_state_classify": (q_x14_state_classify, SQL_X14),
+    "j8_short_sha_join": (q_j8_short_sha_join, SQL_J8),
+    "t5_failure_ttl": (q_t5_failure_ttl, SQL_T5),
+    "w2_budget_override": (q_w2_budget_override, SQL_W2),
+    "a9_cache_stats": (q_a9_cache_stats, SQL_A9),
+    "td_ngram_jaccard_pruned": (q_td_ngram_jaccard_pruned, SQL_TD_JACCARD_PRUNED),
 }

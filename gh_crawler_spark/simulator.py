@@ -79,10 +79,12 @@ class SimCrawler:
     """Ordered single-threaded crawl over ``pages: {canonical_url: html}``."""
 
     def __init__(self, cfg: CrawlConfig, pages: dict[str, bytes],
-                 robots: dict[str, tuple[str, int]] | None = None):
+                 robots: dict[str, tuple[str, int]] | None = None,
+                 budget_overrides: dict[str, int] | None = None):
         self.cfg = cfg
         self.pages = {xxhash64_py(u): (u, h) for u, h in pages.items()}
         self.robots = robots or {}
+        self.budget_overrides = budget_overrides or {}  # W2 mirror
         self.frontier: dict[int, _Entry] = {}
         self.hosts: dict[str, _Host] = {}
         self.seen: set[int] = set()
@@ -135,9 +137,16 @@ class SimCrawler:
         cfg, now = self.cfg, self.now(k)
         nxt = self.now(k + 1)
         # 1-3. eligibility + robots + token budget + deterministic rank
+        # (T5/T10 mirror: expired failures / stale fetched rows re-enter —
+        # their next_fetch_ts carries the due time, stamped at transition)
+        states = {"discovered"}
+        if cfg.failure_ttl_s is not None:
+            states.add("failed")
+        if cfg.staleness_s is not None:
+            states.add("fetched")
         by_host: dict[str, list[_Entry]] = {}
         for e in self.frontier.values():
-            if e.state != "discovered" or e.next_fetch_ts > now:
+            if e.state not in states or e.next_fetch_ts > now:
                 continue
             h = self._host(e.domain)
             if h.blocked_until is not None and h.blocked_until > now:
@@ -151,6 +160,8 @@ class SimCrawler:
             h = self._host(dom)
             avail = min(h.capacity, h.tokens + h.rate * cfg.round_duration_s)
             budget = int(avail)
+            if dom in self.budget_overrides:  # W2: override CAPS the budget
+                budget = min(budget, int(self.budget_overrides[dom]))
             budgets[dom] = avail
             if budget < 1:
                 continue
@@ -162,11 +173,17 @@ class SimCrawler:
         new_best: dict[int, tuple[str, float]] = {}
         fails_per_host: dict[str, int] = {}
         ok_per_host: dict[str, int] = {}
+        def fail_terminal(e: _Entry) -> None:
+            e.state = "failed"
+            if cfg.failure_ttl_s is not None:  # T5: re-enters after the TTL
+                e.next_fetch_ts = now + dt.timedelta(seconds=cfg.failure_ttl_s)
+                e.attempt = 0
+
         for e in sorted(batch, key=lambda e: e.url_hash):
             dom = e.domain
             page = self.pages.get(e.url_hash)
             if page is None:
-                e.state = "failed"
+                fail_terminal(e)
                 n_missing += 1
                 continue
             url, html = page
@@ -175,7 +192,7 @@ class SimCrawler:
                 fails_per_host[dom] = fails_per_host.get(dom, 0) + 1
                 e.attempt += 1
                 if e.attempt >= cfg.max_attempts:
-                    e.state = "failed"
+                    fail_terminal(e)
                 else:
                     delay = int(min(BACKOFF_CAP_S, BACKOFF_BASE_S * 2.0 ** (e.attempt - 1)))
                     e.next_fetch_ts = now + dt.timedelta(seconds=delay)
@@ -183,6 +200,9 @@ class SimCrawler:
             n_ok += 1
             ok_per_host[dom] = ok_per_host.get(dom, 0) + 1
             e.state = "fetched"
+            if cfg.staleness_s is not None:  # T10: re-crawl due time
+                e.next_fetch_ts = now + dt.timedelta(seconds=cfg.staleness_s)
+                e.attempt = 0
             self.seen.add(e.url_hash)
             self.fetch_log.append((k, e.url_hash))
             _ = extract_text_py(html)
@@ -213,11 +233,17 @@ class SimCrawler:
                 elif o > 0 and f == 0:
                     h.rate = min(h.base_rate, h.rate * ADAPT_RECOVER_FACTOR)
             if ok_per_host.get(dom, 0) > 0:
-                h.failure_count = 0
+                fc = 0
             else:
-                h.failure_count += fails_per_host.get(dom, 0)
-            if h.failure_count >= CIRCUIT_FAILURES:
+                fc = h.failure_count + fails_per_host.get(dom, 0)
+            # trip-and-reset: blocked_until is armed only when the threshold
+            # is CROSSED; the count resets so an idle blocked host is not
+            # re-stamped every round and recovers when the block lapses
+            # (mirrors operators/politeness.py apply_circuit_breaker)
+            if fc >= CIRCUIT_FAILURES:
                 h.blocked_until = now + dt.timedelta(seconds=CIRCUIT_BLOCK_S)
+                fc = 0
+            h.failure_count = fc
         return {
             "round": k, "eligible": len(batch), "fetched": n_ok,
             "transient": n_transient, "missing": n_missing, "new": n_new,

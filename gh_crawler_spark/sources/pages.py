@@ -86,8 +86,15 @@ def _canonical_url(seed: int, i: int, n_domains: int) -> str:
     segs = "/".join(f"{_WORDS[_h(seed, 'seg', i, d) % len(_WORDS)]}-{i}" if d == depth - 1
                     else _WORDS[_h(seed, "seg", i, d) % len(_WORDS)]
                     for d in range(depth))
-    # ~half of pages carry a (sorted) query as part of their canonical identity
-    query = "?a=1&b=2" if h & 32 else ""
+    # ~half of pages carry a (sorted) query as part of their canonical identity;
+    # a subset embeds a full URL in a param (redirect/share-link shape) so host
+    # attribution must split on the FIRST '://' (ADVICE r1: host_expr trap)
+    if h & 32:
+        query = "?a=1&b=2"
+        if h & 64:
+            query += "&redir=https://ext-tracker.example/r"
+    else:
+        query = ""
     return f"https://{sub}{dom}/{segs}{query}"
 
 
@@ -121,6 +128,26 @@ def _sentence(seed: int, i: int, j: int) -> str:
     )
 
 
+_ISSUE_STATES = ("open", "closed", "merged")
+
+
+def embedded_payload(seed: int, i: int) -> str:
+    """Deterministic nested page-data JSON (the reference's preloadedQueries
+    shape, src/issue_scraper.py:408-505): issue number/state + timeline edges
+    where only __typename == 'IssueComment' nodes are real comments. Word-only
+    bodies keep the payload valid JSON without escaping."""
+    state = _ISSUE_STATES[_h(seed, "state", i) % 3]
+    b1, b2 = _sentence(seed, i, 300), _sentence(seed, i, 301)
+    return (
+        '{"payload":{"preloadedQueries":[{"result":{"data":{"repository":'
+        '{"issue":{"number":%d,"state":"%s","frontTimelineItems":{"edges":['
+        '{"node":{"__typename":"IssueComment","body":"%s"}},'
+        '{"node":{"__typename":"CrossReferencedEvent","body":"ref"}},'
+        '{"node":{"__typename":"IssueComment","body":"%s"}}]}}}}}}]}}'
+        % (i, state, b1, b2)
+    )
+
+
 def _make_html(seed: int, i: int, n: int, n_domains: int,
                paras: tuple[int, int] = (1, 6)) -> bytes:
     h = _h(seed, "html", i)
@@ -137,9 +164,11 @@ def _make_html(seed: int, i: int, n: int, n_domains: int,
     body = (
         "<html><head><title>doc %d</title>"
         "<style>.x{color:red}</style>"
-        "<script>var junk_%d = 'SHOULD NOT APPEAR';</script></head>"
+        "<script>var junk_%d = 'SHOULD NOT APPEAR';</script>"
+        '<script type="application/json" id="page-data">%s</script></head>'
         "<body><noscript>NOSCRIPT JUNK</noscript>%s<div>%s</div>"
-        "</body></html>" % (i, h % 1000, paras, "\n".join(links))
+        "</body></html>"
+        % (i, h % 1000, embedded_payload(seed, i), paras, "\n".join(links))
     )
     return body.encode("utf-8")
 

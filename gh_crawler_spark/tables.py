@@ -155,9 +155,37 @@ class SnapshotTable:
         ]
         return (max(existing) + 1) if existing else 0
 
-    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
+    def _write_partitioned(self, df: DataFrame, partition_by: str) -> list[dict[str, Any]]:
+        """Write df partitioned by ``partition_by`` via a shadow column (the
+        real column must survive inside the data files — snapshot reads list
+        files directly), normalizing manifest partition keys to the real name."""
+        from pyspark.sql import functions as F
+
+        shadow = f"__pt_{partition_by}"
+        files = self._write_data(
+            df.withColumn(shadow, F.col(partition_by).cast("string")), shadow
+        )
+        for f in files:
+            if f["partition"] and shadow in f["partition"]:
+                f["partition"] = {partition_by: f["partition"][shadow]}
+        return files
+
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict[str, Any] | None = None,
+        partition_by: str | None = None,
+    ) -> int:
+        """Append; with ``partition_by``, new files land in partition dirs and
+        carry partition values in the manifest, so :meth:`read_partitions` can
+        prune appends file-level (the seen-table backstop path)."""
         prev = self.snapshot()
-        files = (prev.files if prev else []) + self._write_data(df, None)
+        new = (
+            self._write_partitioned(df, partition_by)
+            if partition_by
+            else self._write_data(df, None)
+        )
+        files = (prev.files if prev else []) + new
         sid = self._next_sid()
         self._commit(
             Snapshot(sid, prev.snapshot_id if prev else None, "append", files,
@@ -231,18 +259,7 @@ class SnapshotTable:
         files, used to (re)initialize partitioned tables).
         """
         prev = self.snapshot()
-        # Shadow partition column: ``partitionBy`` strips the partition column
-        # from the data files, but snapshot reads list files directly (no
-        # basePath), so the real column must survive inside the files.
-        from pyspark.sql import functions as F
-
-        shadow = f"__pt_{partition_by}"
-        new_files = self._write_data(
-            df.withColumn(shadow, F.col(partition_by).cast("string")), shadow
-        )
-        for f in new_files:  # normalize manifest partition key to the real name
-            if f["partition"] and shadow in f["partition"]:
-                f["partition"] = {partition_by: f["partition"][shadow]}
+        new_files = self._write_partitioned(df, partition_by)
         touched = {
             f["partition"][partition_by] for f in new_files if f["partition"]
         }
@@ -273,6 +290,38 @@ class SnapshotTable:
                      int(time.time() * 1000))
         )
         return sid
+
+    # -- stats (A9) ----------------------------------------------------------
+
+    def stats(self) -> dict[str, Any]:
+        """Table statistics off the manifest alone — no Spark job, no data
+        read (the reference's cache-stats surface,
+        ``src/unified_cache_manager.py:433-459``): snapshot count, live data
+        files, bytes, partitions, lineage depth."""
+        snaps = self.snapshots()
+        cur = self.snapshot()
+        files = cur.files if cur else []
+        n_bytes = 0
+        for f in files:
+            try:
+                n_bytes += os.path.getsize(f["path"])
+            except OSError:
+                pass
+        partitions = {
+            tuple(sorted(f["partition"].items()))
+            for f in files
+            if f["partition"]
+        }
+        return {
+            "table": self.name,
+            "n_snapshots": len(snaps),
+            "current_snapshot_id": cur.snapshot_id if cur else None,
+            "operation": cur.operation if cur else None,
+            "n_files": len(files),
+            "n_bytes": n_bytes,
+            "n_partitions": len(partitions),
+            "committed_at_ms": cur.committed_at_ms if cur else None,
+        }
 
     # -- maintenance ---------------------------------------------------------
 
@@ -316,6 +365,34 @@ class SnapshotTable:
         # basePath keeps partition-dir column values out; partition columns
         # were written into the files' directory names only — re-derive the
         # partition column from data (we always keep it as a data column too).
+        return spark.read.parquet(*paths)
+
+    def read_partitions(
+        self,
+        spark: SparkSession,
+        partition_by: str,
+        values: list,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Partition-pruned read: only files whose manifest partition value is
+        in ``values`` (the Iceberg partition-pruning analog — the seen-table
+        backstop reads suspect buckets, not the whole table). Files written
+        WITHOUT partition info are conservatively always included, so pruning
+        can never drop rows a partitioned reader is entitled to see."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise ValueError(f"table {self.name} has no snapshot yet")
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        wanted = {str(v) for v in values}
+        paths = [
+            f["path"]
+            for f in snap.files
+            if f["partition"] is None
+            or partition_by not in f["partition"]
+            or f["partition"][partition_by] in wanted
+        ]
+        if not paths:
+            return spark.createDataFrame([], schema)
         return spark.read.parquet(*paths)
 
     def exists(self) -> bool:

@@ -145,6 +145,133 @@ def test_adaptive_rate_matches_simulator(spark, corpus, tmp_path):
     assert fetch_sets == set(sim.fetch_log)
 
 
+def test_failure_ttl_and_staleness_match_simulator(spark, corpus, tmp_path):
+    """T5 (failed-entry TTL re-entry) + T10 (staleness re-crawl): with short
+    virtual TTLs, failed URLs re-enter and fetched URLs are re-crawled; the
+    engine and the executable spec must agree on every (round, url) fetch."""
+    import dataclasses
+
+    pages, seeds, robots = corpus
+    cfg = dataclasses.replace(
+        _cfg(tmp_path / "ttl"),
+        max_rounds=8,
+        # TTL = 2 rounds, staleness = 3 rounds (virtual seconds)
+        failure_ttl_s=2 * 30.0,
+        staleness_s=3 * 30.0,
+    )
+    c = Crawler(spark, cfg, pages, robots)
+    c.run(seeds=seeds, max_rounds=8)
+    fetch_sets, seen = _crawl_outcome(spark, c)
+
+    sim_pages = {
+        canonicalize_url_py(r["url"]): bytes(r["html"])
+        for r in pages.select("url", "html").collect()
+    }
+    sim_robots = {
+        r["registrable_domain"]: (r["robots_rules"], r["crawl_delay_ms"])
+        for r in robots.collect()
+    }
+    sim = SimCrawler(dataclasses.replace(cfg, root=str(tmp_path / "ttlsim")),
+                     sim_pages, sim_robots)
+    sim.seed([(r["url"], r["priority"]) for r in seeds.collect()])
+    sim.run(transient_fn=lambda url, att: xxhash64_py(url + str(att)) % FAIL_MOD == 0,
+            max_rounds=8)
+    assert seen == sim.seen
+    assert fetch_sets == set(sim.fetch_log)
+    # staleness actually re-crawled something: some url fetched in 2 rounds
+    by_url: dict[int, int] = {}
+    for _rnd, uh in fetch_sets:
+        by_url[uh] = by_url.get(uh, 0) + 1
+    assert any(n >= 2 for n in by_url.values())
+
+
+def test_budget_overrides_match_simulator(spark, corpus, tmp_path):
+    """W2: a per-domain budget-override table caps the hot domain's per-round
+    batch; engine and spec agree fetch-for-fetch and the cap binds."""
+    from gh_crawler_spark.sources.pages import HOT_DOMAIN
+
+    pages, seeds, robots = corpus
+    overrides = {HOT_DOMAIN: 2}
+    ov_df = spark.createDataFrame(
+        [(d, b) for d, b in overrides.items()], "registrable_domain STRING, budget INT"
+    )
+    cfg = _cfg(tmp_path / "w2")
+    c = Crawler(spark, cfg, pages, robots, budget_overrides=ov_df)
+    c.run(seeds=seeds)
+    fetch_sets, seen = _crawl_outcome(spark, c)
+
+    sim_pages = {
+        canonicalize_url_py(r["url"]): bytes(r["html"])
+        for r in pages.select("url", "html").collect()
+    }
+    sim_robots = {
+        r["registrable_domain"]: (r["robots_rules"], r["crawl_delay_ms"])
+        for r in robots.collect()
+    }
+    import dataclasses
+
+    sim = SimCrawler(dataclasses.replace(cfg, root=str(tmp_path / "w2sim")),
+                     sim_pages, sim_robots, budget_overrides=overrides)
+    sim.seed([(r["url"], r["priority"]) for r in seeds.collect()])
+    sim.run(transient_fn=lambda url, att: xxhash64_py(url + str(att)) % FAIL_MOD == 0)
+    assert seen == sim.seen
+    assert fetch_sets == set(sim.fetch_log)
+    # the cap binds: no round fetches more than 2 hot-domain URLs
+    from gh_crawler_spark.functions.urls import registrable_domain_py
+
+    hot_hashes = {
+        xxhash64_py(canonicalize_url_py(r["url"]))
+        for r in pages.select("url").collect()
+        if registrable_domain_py(
+            canonicalize_url_py(r["url"]).split("://", 1)[1].split("/", 1)[0]
+        ) == HOT_DOMAIN
+    }
+    per_round: dict[int, int] = {}
+    for rnd, uh in fetch_sets:
+        if uh in hot_hashes:
+            per_round[rnd] = per_round.get(rnd, 0) + 1
+    assert per_round and max(per_round.values()) <= 2
+
+
+def test_entities_nested_table(spark, corpus, tmp_path):
+    """X10/X14 engine path: the embedded page-data JSON is parsed into a
+    NESTED entities table (issue number/state + comments array<struct>),
+    matching the datagen payload value-for-value."""
+    import dataclasses
+    import json
+
+    from gh_crawler_spark.sources.pages import canonical_urls_py, embedded_payload
+
+    pages, seeds, robots = corpus
+    cfg = dataclasses.replace(_cfg(tmp_path / "ent"), extract_entities=True)
+    c = Crawler(spark, cfg, pages, robots)
+    c.run(seeds=seeds, max_rounds=3)
+    ents = c.t["entities"].read(spark)
+    rows = ents.collect()
+    assert rows
+    # one entities row per fetched page
+    assert len(rows) == c.t["results"].read(spark).count()
+    # nested schema: issue struct with comments array<struct<body>>
+    f = {fld.name: fld for fld in ents.schema.fields}["issue"]
+    assert f.dataType.typeName() == "struct"
+    idx = {
+        xxhash64_py(u): i
+        for i, u in enumerate(canonical_urls_py(SEED, list(range(N_PAGES)), N_DOMAINS))
+    }
+    for r in rows:
+        i = idx[r["url_hash"]]
+        want = json.loads(embedded_payload(SEED, i))
+        issue = want["payload"]["preloadedQueries"][0]["result"]["data"]["repository"]["issue"]
+        assert r["issue"]["number"] == i == issue["number"]
+        assert r["issue"]["state"] == issue["state"]
+        want_bodies = [
+            e["node"]["body"]
+            for e in issue["frontTimelineItems"]["edges"]
+            if e["node"]["__typename"] == "IssueComment"
+        ]
+        assert [cm["body"] for cm in r["issue"]["comments"]] == want_bodies
+
+
 def test_lineage_recorded(spark, corpus, tmp_path):
     pages, seeds, robots = corpus
     c = Crawler(spark, _cfg(tmp_path / "lin"), pages, robots)

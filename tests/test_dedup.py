@@ -35,6 +35,36 @@ def test_filter_unseen_matches_exact_anti_join(spark):
     assert got == want == list(range(0, 1500))
 
 
+def test_add_df_matches_build_and_counts(spark):
+    """Incremental distributed add == one-shot build, bit for bit; the
+    returned key count replaces a separate count() job."""
+    all_keys = spark.range(0, 4000).select(F.xxhash64("id").alias("url_hash"))
+    first = spark.range(0, 2500).select(F.xxhash64("id").alias("url_hash"))
+    second = spark.range(2500, 4000).select(F.xxhash64("id").alias("url_hash"))
+    built = PartitionedBloom.build(all_keys, n_buckets=16, expected_per_bucket=300)
+    inc = PartitionedBloom.empty(n_buckets=16, expected_per_bucket=300)
+    assert inc.add_df(first) == 2500
+    assert inc.add_df(second) == 1500
+    assert set(built.bitmaps) == set(inc.bitmaps)
+    for b, bits in built.bitmaps.items():
+        assert np.array_equal(bits, inc.bitmaps[b]), b
+    assert inc.add_df(spark.range(0, 0).select(F.xxhash64("id").alias("url_hash"))) == 0
+
+
+def test_crawler_never_collects_url_hashes():
+    """The flagship pipeline's serial-collection guard (round-1 verdict #2):
+    crawler.py must not pull url_hash keys to the driver — Bloom maintenance
+    goes through the distributed add_df path."""
+    import inspect
+
+    import gh_crawler_spark.crawler as crawler_mod
+
+    src = inspect.getsource(crawler_mod)
+    for line in src.splitlines():
+        if ".collect()" in line:
+            assert "url_hash" not in line, line
+
+
 def test_filter_unseen_without_bloom(spark):
     cands = spark.range(0, 100).select(F.xxhash64("id").alias("url_hash"))
     seen = spark.range(50, 100).select(F.xxhash64("id").alias("url_hash"))

@@ -26,6 +26,8 @@ def docs(spark):
         (3, BASE.replace("bloom", "cuckoo")),         # near dup (1 token)
         (4, "completely different content about cooking pasta with tomatoes and basil sauce"),
         (5, "another unrelated text mentioning mountains rivers forests and weather patterns"),
+        (6, "two tokens"),                            # < k tokens: no shingles, must not crash
+        (7, ""),                                      # empty doc
     ]
     return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
 
@@ -60,6 +62,23 @@ def test_simhash_near_pairs(spark, docs):
     assert got[(0, 1)] == 0 and got[(0, 2)] == 0
     assert got.get((0, 3), 99) <= 6      # 1-token change stays close
     assert (0, 4) not in got
+
+
+def test_hot_shingle_drop_prunes_but_keeps_identicals(spark, docs):
+    # cap=2: shingles shared by docs 0,1,2 (df=3) are dropped, so the 0-1-2
+    # identical cluster disappears FROM THE PRUNED SETS consistently (their
+    # pruned shingle sets are empty -> no pairs); unrelated docs unaffected.
+    pruned = {(r["d1"], r["d2"]) for r in
+              ngram_jaccard_pairs(docs, k=3, threshold=0.5,
+                                  max_shingle_doc_freq=2).collect()}
+    full = {(r["d1"], r["d2"]) for r in
+            ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    assert pruned <= full
+    # a generous cap (>= corpus size) is a no-op
+    same = {(r["d1"], r["d2"]) for r in
+            ngram_jaccard_pairs(docs, k=3, threshold=0.5,
+                                max_shingle_doc_freq=100).collect()}
+    assert same == full
 
 
 def test_dedup_keep_first(spark, docs):

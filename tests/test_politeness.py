@@ -64,8 +64,24 @@ def _hs(spark, failure_count, fails, oks):
 
 def test_circuit_breaker_trips_at_threshold(spark):
     out = apply_circuit_breaker(_hs(spark, CIRCUIT_FAILURES - 2, 2, 0), F.lit(NOW)).collect()[0]
-    assert out["failure_count"] == CIRCUIT_FAILURES
+    # trip-and-reset: the block is armed, the count restarts from zero
+    assert out["failure_count"] == 0
     assert (out["blocked_until"] - NOW).total_seconds() == CIRCUIT_BLOCK_S
+
+
+def test_circuit_breaker_recovers_after_block(spark):
+    """A tripped host must NOT be re-stamped while idle (ADVICE r1): folding
+    zero failures/successes on a blocked host leaves blocked_until alone, so
+    the block lapses and the host becomes eligible again."""
+    blocked = spark.createDataFrame(
+        [("d.com", 0, NOW + dt.timedelta(seconds=CIRCUIT_BLOCK_S), 0, 0)],
+        "registrable_domain STRING, failure_count INT, blocked_until TIMESTAMP, "
+        "round_failures INT, round_successes INT",
+    )
+    later = NOW + dt.timedelta(seconds=60)
+    out = apply_circuit_breaker(blocked, F.lit(later)).collect()[0]
+    assert out["failure_count"] == 0
+    assert out["blocked_until"] == NOW + dt.timedelta(seconds=CIRCUIT_BLOCK_S)  # unchanged
 
 
 def test_circuit_breaker_success_resets(spark):

@@ -47,6 +47,35 @@ def test_partition_overwrite_rejects_unpartitioned_base(spark, tmp_path):
         t.overwrite_partitions(_df(spark, [(2, 0, "b")]), "bucket")
 
 
+def test_partitioned_append_and_pruned_read(spark, tmp_path):
+    """The seen-table backstop contract: read_partitions over a
+    bucket-partitioned append stream reads a strict subset of the files."""
+    t = SnapshotTable(str(tmp_path), "t")
+    t.append(_df(spark, [(1, 0, "a"), (2, 1, "b")]), partition_by="bucket")
+    t.append(_df(spark, [(3, 0, "c"), (4, 2, "d")]), partition_by="bucket")
+    full = t.read(spark)
+    assert sorted(r["k"] for r in full.collect()) == [1, 2, 3, 4]
+    pruned = t.read_partitions(spark, "bucket", [0])
+    assert sorted(r["k"] for r in pruned.collect()) == [1, 3]
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # bucket column survives inside the data files (partition value = data)
+    assert {r["bucket"] for r in pruned.collect()} == {0}
+    # no matching bucket -> empty with schema, zero files
+    empty = t.read_partitions(spark, "bucket", [9])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "bucket", "v"]
+
+
+def test_read_partitions_keeps_unpartitioned_files(spark, tmp_path):
+    """Files appended WITHOUT partition info are conservatively included —
+    pruning must never drop rows it can't prove are out of scope."""
+    t = SnapshotTable(str(tmp_path), "t")
+    t.append(_df(spark, [(1, 5, "x")]))  # unpartitioned append
+    t.append(_df(spark, [(2, 0, "y")]), partition_by="bucket")
+    pruned = t.read_partitions(spark, "bucket", [0])
+    assert sorted(r["k"] for r in pruned.collect()) == [1, 2]
+
+
 def test_rollback(spark, tmp_path):
     t = SnapshotTable(str(tmp_path), "t")
     s0 = t.append(_df(spark, [(1, 0, "a")]))
@@ -82,6 +111,18 @@ def test_expire_snapshots_deletes_orphaned_files(spark, tmp_path):
     deleted = t.expire_snapshots(keep_last=1)
     assert deleted > 0
     assert [r["k"] for r in t.read(spark).collect()] == [3]
+
+
+def test_stats_surface(spark, tmp_path):
+    """A9: manifest-only table stats (no Spark job)."""
+    t = SnapshotTable(str(tmp_path), "t")
+    t.append(_df(spark, [(1, 0, "a"), (2, 1, "b")]), partition_by="bucket")
+    t.append(_df(spark, [(3, 0, "c")]), partition_by="bucket")
+    s = t.stats()
+    assert s["table"] == "t" and s["n_snapshots"] == 2
+    assert s["n_files"] >= 3 and s["n_bytes"] > 0
+    assert s["n_partitions"] == 2  # bucket=0 and bucket=1
+    assert s["operation"] == "append"
 
 
 def test_empty_read_keeps_schema(spark, tmp_path):

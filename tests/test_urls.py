@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from gh_crawler_spark.functions.urls import (
     canonicalize_url_expr,
     canonicalize_url_py,
+    host_expr,
     registrable_domain_expr,
     registrable_domain_py,
 )
@@ -83,6 +84,27 @@ def test_property_idempotent_and_trap_invariant(host, path, params, frag, upper,
     assert canonicalize_url_py(c) == c  # idempotent
     assert c.split("://")[1].split("/")[0].split(":")[0] == host  # host lowercased
     assert "#" not in c
+
+
+HOST_GOLDEN = [
+    # (canonical url, host) — incl. the share-link trap: '://' inside a query
+    # param must NOT steal host attribution (ADVICE r1, urls.py host_expr)
+    ("https://a.com/r?target=https://evil.com/x", "a.com"),
+    ("https://a.com/r?redir=https://ext-tracker.example/r", "a.com"),
+    ("https://example.com:8080/a", "example.com:8080"),
+    ("https://example.com/", "example.com"),
+    ("https://example.com/a/b?c=1", "example.com"),
+]
+
+
+def test_host_expr_first_scheme_wins(spark):
+    df = spark.createDataFrame([(u,) for u, _ in HOST_GOLDEN], "url STRING")
+    got = df.select("url", host_expr(F.col("url")).alias("h")).collect()
+    for row in got:
+        want = dict(HOST_GOLDEN)[row["url"]]
+        assert row["h"] == want, row["url"]
+        # parity with the simulator's _host_of (the executable spec)
+        assert row["url"].split("://", 1)[1].split("/", 1)[0] == want
 
 
 DOM_GOLDEN = [
