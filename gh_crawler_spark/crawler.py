@@ -768,7 +768,12 @@ class Crawler:
 
         # ------------------------------------------------- commits (S7/T6)
         tick("plan_updates")
-        fut_frontier = pool.submit(self.t["frontier"].append, new_rows, {"round": k})
+        # bucketed append: keeps EVERY frontier file prunable by the
+        # known_loader backstop (an unpartitioned append would be
+        # conservatively re-read for every suspect bucket)
+        fut_frontier = pool.submit(
+            self.t["frontier"].append, new_rows, {"round": k}, "bucket"
+        )
         host_snap = self.t["host_state"].overwrite(hs_new, {"round": k})
         frontier_snap = fut_frontier.result()
         transitions_snap = fut_trans.result()

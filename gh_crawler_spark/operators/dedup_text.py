@@ -29,14 +29,15 @@ from pyspark.sql import functions as F
 from gh_crawler_spark.operators.textops import fingerprint_expr, tokens_expr
 
 
-def shingles_df(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word-k-gram shingles per doc: (doc_id, shingle).
+def shingle_array_expr(text_col, k: int = 3):
+    """Per-row DISTINCT word-k-gram shingle array (set semantics, map-side).
 
-    Docs with fewer than ``k`` tokens yield NO shingles (empty array, dropped
-    by the explode) — ``sequence(0, -1)`` would descend to ``[0, -1]`` and
-    ``slice(toks, 0, k)`` throws, so the sequence is gated on size (ADVICE r1).
-    """
-    toks = tokens_expr(F.col(text_col))
+    Docs with fewer than ``k`` tokens yield an EMPTY array — ``sequence(0,
+    -1)`` would descend to ``[0, -1]`` and ``slice(toks, 0, k)`` throws, so
+    the sequence is gated on size (ADVICE r1). ``array_distinct`` replaces a
+    dropDuplicates SHUFFLE with a per-row hash set — the dedup is within one
+    document, so it never needed a shuffle."""
+    toks = tokens_expr(text_col)
     sh = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -44,10 +45,33 @@ def shingles_df(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFram
             lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
-    )
+    return F.array_distinct(sh)
+
+
+def shingles_df(
+    docs: DataFrame, k: int = 3, text_col: str = "text", with_size: bool = False
+) -> DataFrame:
+    """Distinct word-k-gram shingles per doc: (doc_id[, n_sh], shingle).
+
+    ``with_size`` carries the per-doc distinct-shingle count on every exploded
+    row, so Jaccard consumers don't need a separate sizes aggregation+join —
+    the count rides the inverted index for free.
+
+    ``explode_outer`` + a post-filter instead of plain ``explode`` is
+    deliberate: a non-outer generator makes the optimizer infer a
+    ``size(arr) > 0`` predicate and push it into the SCAN, which evaluates the
+    whole tokenize+shingle pipeline a second time per row as a filter
+    (measured ~2× the stage cost). The outer variant emits one null-shingle
+    row for empty docs, filtered on the generator OUTPUT — cheap and
+    un-pushable."""
+    arr = docs.select("doc_id", shingle_array_expr(F.col(text_col), k).alias("__sh"))
+    if with_size:
+        e = arr.select(
+            "doc_id", F.size("__sh").alias("n_sh"), F.explode_outer("__sh").alias("shingle")
+        )
+    else:
+        e = arr.select("doc_id", F.explode_outer("__sh").alias("shingle"))
+    return e.filter(F.col("shingle").isNotNull())
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -77,51 +101,75 @@ def ngram_jaccard_pairs(
     Note the cap changes semantics — Jaccard is then computed over the pruned
     shingle sets on both the numerator and denominator, consistently.
     """
-    sh = shingles_df(docs, k, text_col)
+    # The explicit repartition on the join key is load-bearing: it creates ONE
+    # exchange that every downstream consumer (both self-join sides, the
+    # doc-freq agg) reuses via Spark's ReuseExchange, so the expensive
+    # tokenize+shingle scan runs exactly once. Without it each join side
+    # recomputes the shingling (measured 4× slower at sf0.1).
+    sh = shingles_df(docs, k, text_col, with_size=True).repartition(F.col("shingle"))
     if max_shingle_doc_freq is not None:
-        # one extra agg + join on shingle; kills the quadratic hot keys
+        # one extra agg + semi-join on shingle kills the quadratic hot keys;
+        # per-doc sizes must be recounted over the PRUNED sets (consistent
+        # numerator/denominator), so this path pays one sizes aggregation
         freq_ok = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_shingle_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(freq_ok, "shingle", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        sh = sh.drop("n_sh").join(freq_ok, "shingle", "left_semi")
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        sh = sh.join(sizes, "doc_id")
+    return _jaccard_pairs(sh, threshold)
+
+
+def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """(doc_id, n_sh, shingle) inverted index -> thresholded Jaccard pairs.
+    One self-join on shingle + one (d1,d2) aggregation; the set sizes are
+    carried on the rows (first() per group), so no sizes join is needed."""
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("common"))
+        .agg(
+            F.count("*").alias("common"),
+            F.first(F.col("a.n_sh")).alias("n1"),
+            F.first(F.col("b.n_sh")).alias("n2"),
+        )
     )
-    return _jaccard_from_common(common, sizes, threshold)
-
-
-def _jaccard_from_common(common: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
-    """(d1,d2,common) × per-doc shingle counts -> thresholded Jaccard pairs."""
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     return (
-        common.join(sa, "d1").join(sb, "d2")
-        .withColumn("jaccard", F.round(jac, 4))
+        common.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
 
 
+def _minhash_min_exprs(n_hashes: int) -> list:
+    """min-aggregate expressions for the n_hashes MinHash functions.
+
+    Kirsch-Mitzenmacher double hashing: two real string hashes h1, h2 per
+    shingle, then g_i = h1 + i·h2 — the standard trick that preserves
+    MinHash's guarantees while doing 2 string hashes + n integer mults
+    instead of n string hashes per shingle (the signature aggregation
+    dominates the LSH pipeline at corpus scale). Both hashes are masked to
+    32 bits so g_i fits a long under ANSI arithmetic (no wraparound allowed);
+    a 2^32 hash space is ample for per-document shingle minima, and band
+    collisions are verified exactly downstream anyway."""
+    mask = F.lit((1 << 32) - 1)
+    h1 = F.xxhash64(F.col("shingle")).bitwiseAND(mask)
+    h2 = F.xxhash64(F.col("shingle"), F.lit(1)).bitwiseAND(mask)
+    return [F.min(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(n_hashes)]
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = 32, k: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, sig ARRAY<BIGINT>): sig[i] = min over shingles of
-    xxhash64(i || shingle). All built-in exprs — no UDF."""
+    """(doc_id, sig ARRAY<BIGINT>): sig[i] = min over shingles of the i-th
+    derived hash. All built-in exprs — no UDF."""
     sh = shingles_df(docs, k, text_col)
-    mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    agg = sh.groupBy("doc_id").agg(*mins)
+    agg = sh.groupBy("doc_id").agg(*_minhash_min_exprs(n_hashes))
     return agg.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
 
 
@@ -140,7 +188,15 @@ def minhash_lsh_pairs(
     depends on (bands, rows) as usual.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, k, text_col)
+    # One shingling pass serves BOTH the signature aggregation and the
+    # verification stage: the repartition(doc_id) exchange is reused by the
+    # groupBy (same key) and by the candidate semi-join below.
+    sh = shingles_df(docs, k, text_col, with_size=True).repartition(F.col("doc_id"))
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*_minhash_min_exprs(n_hashes))
+        .select("doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+    )
     band_cols = F.explode(
         F.array(
             *[
@@ -178,23 +234,37 @@ def minhash_lsh_pairs(
     # (doc_id, shingle). Cost is O(sum over candidates of |shingles(d1)|),
     # NOT the full-corpus shingle self-join — that's the entire point of LSH
     # (round-1 verdict: the previous version verified against the whole
-    # corpus, making the LSH stage save nothing).
-    sh = shingles_df(docs, k, text_col)
+    # corpus, making the LSH stage save nothing). Set sizes ride the rows,
+    # and `sh` reuses the signature stage's shingling exchange.
     cand_docs = (
         candidates.select(F.col("d1").alias("doc_id"))
         .union(candidates.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
     sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
-    sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     common = (
         candidates
-        .join(sh_cand.select(F.col("doc_id").alias("d1"), "shingle"), "d1")
-        .join(sh_cand.select(F.col("doc_id").alias("d2"), "shingle"), ["d2", "shingle"])
+        .join(
+            sh_cand.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"), "shingle"),
+            "d1",
+        )
+        .join(
+            sh_cand.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"), "shingle"),
+            ["d2", "shingle"],
+        )
         .groupBy("d1", "d2")
-        .agg(F.count("*").alias("common"))
+        .agg(
+            F.count("*").alias("common"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
     )
-    return _jaccard_from_common(common, sizes, threshold)
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
 
 
 def simhash_expr(text_col, n_bits: int = 64):
@@ -224,7 +294,32 @@ def simhash_expr(text_col, n_bits: int = 64):
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select("doc_id", simhash_expr(F.col(text_col)).alias("simhash"))
+    """(doc_id, simhash) via explode + 64 conditional-sum aggregates.
+
+    Same signature value as :func:`simhash_expr`, different physical plan:
+    Spark's higher-order functions (aggregate/zip_with) are evaluated
+    INTERPRETED per array element, while a HashAggregate over exploded token
+    hashes is whole-stage-codegen'd with map-side partial aggregation — one
+    shuffle of (doc_id, 64 longs) per doc. Measured ~3-4× faster at sf0.1;
+    at corpus scale the shuffle is the per-doc vote vector, not the tokens.
+    Docs with zero tokens produce no signature (they have no near-dups).
+    """
+    masks = [1 << i if i < 63 else -(2 ** 63) for i in range(64)]
+    tok = docs.select(
+        "doc_id", F.explode(tokens_expr(F.col(text_col))).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i, m in enumerate(masks)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for i, m in enumerate(masks):
+        sig = sig.bitwiseOR(F.when(F.col(f"v{i}") > 0, F.lit(m)).otherwise(F.lit(0)))
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -280,7 +375,81 @@ def simhash_near_pairs(
 
 def dedup_keep_first(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Resolve near-dup pairs to a keep/drop decision: drop the larger doc_id
-    of every pair (deterministic union-find-lite; exact transitive closure
-    would iterate — at pipeline scale one sweep removes the bulk)."""
+    of every pair (deterministic union-find-lite; one sweep removes the bulk
+    — :func:`connected_components` gives the exact transitive closure)."""
     drops = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    return docs.join(drops, "doc_id", "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20, d1: str = "d1", d2: str = "d2"
+) -> DataFrame:
+    """Exact transitive closure of near-dup pairs: (doc_id, component) where
+    component = min doc_id reachable through the pair graph.
+
+    Iterative min-label propagation (the alternating large-star/small-star
+    idea specialized to min-labels): each round every node adopts the
+    smallest label among itself and its neighbors; converged when no label
+    changes. Rounds needed = graph diameter ≤ max_iter — near-dup clusters
+    are shallow (dup chains, not paths), so convergence is typically 2-4
+    rounds. Each round is ONE shuffle (groupBy node) over the edge list;
+    nothing is collected to the driver except the 1-row convergence count.
+
+    At 10^10 edges use the same loop — per-round cost is a map + hash
+    aggregate over edges; the driver holds only the loop counter.
+
+    Lineage is truncated with ``localCheckpoint`` every iteration — an
+    iterative self-referencing plan otherwise grows EXPONENTIALLY (each round
+    embeds the previous round's plan twice, via the propagation join and the
+    convergence check) and OOMs the driver during analysis within ~8 rounds.
+    """
+    edges = (
+        pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # undirected: propagate labels both ways; checkpointed once, reused per round
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(F.col("a").alias("doc_id"), F.least(F.col("a"), F.col("mb")).alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor labels: join edges to current labels, take min per node
+        nbr = (
+            sym.join(labels, sym["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_first_exact(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact group dedup: keep the min doc_id of every connected component."""
+    comp = connected_components(pairs)
+    drops = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(drops, "doc_id", "left_anti")

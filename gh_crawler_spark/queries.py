@@ -1285,6 +1285,30 @@ WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.2
 """
 
 
+def q_td_cc_groups(spark, sf_dir):
+    """Exact near-dup GROUPS via distributed connected components (iterative
+    min-label propagation — one shuffle per round, driver holds only the
+    convergence flag). Fixture: chain edges (doc-1, doc) within runs of 10
+    consecutive ids, so components are multi-hop and the closure is exact."""
+    from gh_crawler_spark.operators.dedup_text import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.filter(F.col("doc_id") % 10 != 0).select(
+        (F.col("doc_id") - 1).alias("d1"), F.col("doc_id").alias("d2")
+    )
+    return connected_components(pairs)
+
+
+# closed-form oracle: a chain's min-reachable id is the start of its run
+SQL_TD_CC = """
+SELECT doc_id, CAST(doc_id - doc_id % 10 AS BIGINT) AS component
+FROM documents
+WHERE doc_id % 10 != 0
+   OR EXISTS (SELECT 1 FROM documents d2
+              WHERE d2.doc_id = documents.doc_id + 1 AND d2.doc_id % 10 != 0)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1350,4 +1374,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "w2_budget_override": (q_w2_budget_override, SQL_W2),
     "a9_cache_stats": (q_a9_cache_stats, SQL_A9),
     "td_ngram_jaccard_pruned": (q_td_ngram_jaccard_pruned, SQL_TD_JACCARD_PRUNED),
+    "td_cc_groups": (q_td_cc_groups, SQL_TD_CC),
 }

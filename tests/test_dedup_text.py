@@ -4,8 +4,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from gh_crawler_spark.operators.dedup_text import (
+    connected_components,
     dedup_exact,
     dedup_keep_first,
+    dedup_keep_first_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
@@ -79,6 +81,27 @@ def test_hot_shingle_drop_prunes_but_keeps_identicals(spark, docs):
             ngram_jaccard_pairs(docs, k=3, threshold=0.5,
                                 max_shingle_doc_freq=100).collect()}
     assert same == full
+
+
+def test_connected_components_transitive(spark):
+    """Multi-hop closure: a chain 1-2-3-4, a triangle 10-11-12, an isolated
+    pair 20-21 — every node gets the min reachable id, across hops."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "d1 BIGINT, d2 BIGINT",
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_first_exact_groups(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id BIGINT, text STRING"
+    )
+    # chain 0-1-2 and pair 4-5: keep 0, 3 (untouched), 4
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "d1 BIGINT, d2 BIGINT")
+    kept = sorted(r["doc_id"] for r in dedup_keep_first_exact(docs, pairs).collect())
+    assert kept == [0, 3, 4]
 
 
 def test_dedup_keep_first(spark, docs):
