@@ -693,14 +693,14 @@ class Crawler:
             .groupBy("url_hash")
             .agg(F.max("parent_priority").alias("parent_priority"), F.min("url").alias("url"))
         )
-        # materialized once: the bloom probe + anti-join + robots stamp
-        # below would otherwise re-run the explode/groupBy repeatedly
-        links = materialize(links)
-        tick("bloom_build")
+        # links themselves are cached WITH the probe verdict (cache_fn below)
+        # so the explode/groupBy + bloom probe run exactly once per round
         fresh = filter_unseen(
             links, key_col="url_hash", bloom=self._bloom, spark=spark,
             seen_loader=known_loader, n_buckets=cfg.n_buckets,
+            cache_fn=materialize,
         )
+        tick("links_probe")  # links materialization + suspect-bucket collect
         new_rows = (
             fresh.withColumn("bucket", bucket_expr(F.col("url_hash"), cfg.n_buckets))
             .withColumn("host", host_expr(F.col("url")))

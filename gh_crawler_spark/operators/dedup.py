@@ -232,6 +232,7 @@ def filter_unseen(
     broadcast_candidates: bool = True,
     seen_loader=None,
     n_buckets: int | None = None,
+    cache_fn=None,
 ) -> DataFrame:
     """J1: candidates not in the seen set (Bloom prefilter + exact anti-join).
 
@@ -271,6 +272,11 @@ def filter_unseen(
         return anti(candidates, seen.select(key_col))
     probe = bloom.might_contain_udf(spark or candidates.sparkSession)
     flagged = candidates.withColumn("__maybe_seen", probe(F.col(key_col)))
+    if cache_fn is not None:
+        # the probe output is consumed 2-3× (suspect-bucket collect, the
+        # definite-new branch, the anti-join branch); caching it here keeps
+        # the pandas-UDF probe to ONE execution per round
+        flagged = cache_fn(flagged)
     definite_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     if seen_loader is not None:

@@ -146,6 +146,111 @@ def lsh_topk(
     )
 
 
+def ivf_build_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: (cell, centroid ARRAY<DOUBLE>).
+
+    Seeds = the ``n_cells`` corpus vectors with the smallest xxhash64(id)
+    (deterministic at any parallelism — no RNG), refined by ``lloyd_iters``
+    k-means rounds. Each Lloyd round is: assign (one scan × n_cells dot
+    products, centroids broadcast) then re-average via posexplode + one
+    groupBy — no driver-side math, centroids never leave the cluster except
+    as a broadcast. n_cells is small (√n rule of thumb), so every stage here
+    is a dim-table job next to the corpus scan.
+    """
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed partial
+    # top-k) — a global row_number window here would sort the corpus into one
+    # partition. The tiny result then gets its cell ordinal from a window
+    # over ≤ n_cells rows.
+    topn = (
+        corpus.select(
+            F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("centroid"),
+        )
+        .orderBy("__h", "__id")
+        .limit(n_cells)
+    )
+    w = Window.orderBy("__h", "__id")
+    seeds = topn.select(
+        (F.row_number().over(w) - 1).alias("cell"), "centroid"
+    )
+    cents = seeds
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+        cents = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        )
+    return cents
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroid cells (cosine).
+    Centroids are broadcast; one corpus scan, rank per vector."""
+    c = centroids.select("cell", F.col("centroid"))
+    scored = corpus.join(F.broadcast(c)).withColumn(
+        "__sim", cosine_expr(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("__crk", F.row_number().over(w))
+        .filter(F.col("__crk") <= nprobe)
+        .drop("centroid", "__sim", "__crk")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: exact cosine re-rank restricted to the ``nprobe``
+    cells nearest each query — the inverted-file pattern (corpus is
+    partitionable by cell on disk at scale; a probe reads nprobe/n_cells of
+    the data instead of all of it). Recall grows with nprobe; nprobe =
+    n_cells degenerates to exact brute force."""
+    cents = ivf_build_centroids(corpus, n_cells, lloyd_iters, id_col, vec_col)
+    cells = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    qcells = ivf_assign(queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell"
+    )
+    scored = (
+        cells.join(F.broadcast(qcells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
     vec_col: str = "embedding", dim: int | None = None,

@@ -902,6 +902,17 @@ def q_td_lsh_ann(spark, sf_dir):
                     n_planes=8, n_tables=2)
 
 
+def q_td_ivf_ann(spark, sf_dir):
+    """IVF ANN top-5 (rows-only: hash-seeded centroids; recall and the
+    nprobe=n_cells==brute-force identity are pytest-asserted)."""
+    from gh_crawler_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=8, nprobe=3)
+
+
 def q_td_media_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload -> metadata via mapInPandas
     (deterministic fake decode; formula mirrored in the SQL oracle)."""
@@ -1362,6 +1373,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "td_simhash": (q_td_simhash, None),
     "td_ann_cosine": (q_td_ann_cosine, SQL_TD_ANN),
     "td_lsh_ann": (q_td_lsh_ann, None),
+    "td_ivf_ann": (q_td_ivf_ann, None),
     "td_media_meta": (q_td_media_meta, SQL_TD_MEDIA),
     "td_frame_sample": (q_td_frame_sample, SQL_TD_FRAMES),
     "x4_entity_id": (q_x4_entity_id, SQL_X4),

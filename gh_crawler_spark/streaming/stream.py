@@ -81,6 +81,55 @@ def throughput_metrics_stream(
     )
 
 
+def rate_limit_stream(
+    extracted: DataFrame, rate_per_s: float = 1.0, capacity: float = 10.0
+) -> DataFrame:
+    """T1 as a CUSTOM STATEFUL streaming operator: a per-domain token bucket
+    in Spark's state store via ``applyInPandasWithState``.
+
+    Each micro-batch, a domain's group gets its rows in event-time order;
+    the bucket refills by ``rate_per_s × elapsed-event-time`` (capped at
+    ``capacity``), admits one row per whole token, and stamps the rest
+    ``admitted = false`` (a real pipeline would route those to a retry
+    topic). State per key is two doubles — the canonical use of the state
+    store for politeness that must NOT outlive the query (durable politeness
+    lives in the host_state snapshot table; see module docstring).
+    """
+    import pandas as pd  # noqa: F401  (worker-side import)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "canonical_url STRING, url_hash BIGINT, registrable_domain STRING, "
+        "warc_ts TIMESTAMP, admitted BOOLEAN"
+    )
+    state_schema = "tokens DOUBLE, last_ts DOUBLE"
+
+    def bucket(key, pdfs, state):
+        import pandas as pd
+
+        dom = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["warc_ts", "url_hash"]).reset_index(drop=True)
+        if state.exists:
+            tokens, last_ts = state.get
+        else:
+            tokens, last_ts = float(capacity), None
+        now_ts = rows["warc_ts"].max().timestamp()
+        if last_ts is not None and now_ts > last_ts:
+            tokens = min(float(capacity), tokens + (now_ts - last_ts) * rate_per_s)
+        n_admit = min(len(rows), int(tokens))
+        tokens -= n_admit
+        state.update((float(tokens), float(now_ts)))
+        out = rows[["canonical_url", "url_hash", "registrable_domain", "warc_ts"]].copy()
+        out["admitted"] = [True] * n_admit + [False] * (len(rows) - n_admit)
+        assert out["registrable_domain"].eq(dom).all()
+        yield out
+
+    return extracted.groupBy("registrable_domain").applyInPandasWithState(
+        bucket, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_foreach_batch_crawl(spark, pages_stream: DataFrame, crawler, checkpoint_dir: str):
     """Micro-batch wrapper: each arriving batch of pages is appended to the
     crawler's corpus view and a crawl round executes per micro-batch (rounds

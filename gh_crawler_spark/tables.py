@@ -362,10 +362,11 @@ class SnapshotTable:
                 return spark.createDataFrame([], schema)
             raise ValueError(f"table {self.name} has no snapshot yet")
         paths = [f["path"] for f in snap.files]
-        # basePath keeps partition-dir column values out; partition columns
-        # were written into the files' directory names only — re-derive the
-        # partition column from data (we always keep it as a data column too).
-        return spark.read.parquet(*paths)
+        # Explicit schema from the manifest: skips the per-read parquet
+        # footer schema-inference (a driver-side file read per query — adds
+        # up at one frontier/seen/transitions read per crawl round).
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        return spark.read.schema(schema).parquet(*paths)
 
     def read_partitions(
         self,
@@ -393,7 +394,7 @@ class SnapshotTable:
         ]
         if not paths:
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*paths)
+        return spark.read.schema(schema).parquet(*paths)
 
     def exists(self) -> bool:
         return self.current_snapshot_id() is not None

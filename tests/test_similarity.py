@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from gh_crawler_spark.operators.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -77,6 +78,32 @@ def test_multi_table_lsh_recall(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in ecos:
             assert abs(r["cosine"] - ecos[key]) < 1e-9
+
+
+def test_ivf_recall(spark):
+    """IVF ANN recall gate on the same planted-near-dup fixture as the LSH
+    test: the perturbed copy's base partner (cosine ≈ 0.97) must be in the
+    top-5 for ≥ 90% of queries at nprobe=4 of 16 cells (reading ~1/4 of the
+    corpus per query); nprobe=n_cells must match brute force exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(200, 64)
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    for j in range(50):
+        rows.append((1000 + j, (base[j] + 0.12 * rng.randn(64)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    queries = emb.filter(F.col("vec_id") >= 1000)
+    ann = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+    found = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    hits = sum((1000 + j, j) in found for j in range(50))
+    assert hits / 50 >= 0.9
+    # full probe == exact brute force
+    full = ivf_topk(emb, queries, k=5, n_cells=8, nprobe=8)
+    exact = brute_force_topk(emb, queries, k=5)
+    a = {(r["query_id"], r["neighbor_id"], r["rk"]) for r in full.collect()}
+    e = {(r["query_id"], r["neighbor_id"], r["rk"]) for r in exact.collect()}
+    assert a == e
 
 
 def test_cosine_near_dup_pairs(spark, vectors):
