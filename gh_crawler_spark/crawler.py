@@ -314,20 +314,65 @@ class Crawler:
             .drop("__t_state", "__t_nft", "__t_attempt")
         )
 
+    def _active_state_pred(self):
+        """States that can still become eligible (terminal states depend on
+        the T5/T10 knobs: TTL'd failures and staleness-re-crawled fetches
+        are NOT terminal when those features are on)."""
+        cfg = self.cfg
+        pred = F.col("state") == "discovered"
+        if cfg.failure_ttl_s is not None:
+            pred = pred | (F.col("state") == "failed")
+        if cfg.staleness_s is not None:
+            pred = pred | (F.col("state") == "fetched")
+        return pred
+
     def compact(self) -> None:
         """Fold the transitions delta into the bucketed frontier (the Iceberg
         MERGE/compaction step): one full-table write every N rounds instead of
-        one per round; the delta table is truncated afterwards."""
+        one per round; the delta table is truncated afterwards.
+
+        Terminal rows (fetched/failed that can never re-enter under the
+        current T5/T10 config) migrate to ARCHIVE partitions — same table,
+        partition value ``bucket + n_buckets``. The per-round eligibility
+        scan then reads only the active partitions (round-1 verdict #6: the
+        frontier scan was O(ever-discovered) per round; at steady state the
+        active set is orders of magnitude smaller), while the dedup
+        backstop's known_loader still sees archived keys by reading the
+        {b, b+n_buckets} partition pair per suspect bucket.
+
+        The bucket offset is recomputed from the CURRENT config each time
+        (idempotent: the true bucket is re-derived from url_hash), so after
+        flipping failure_ttl_s/staleness_s on an existing warehouse, one
+        compact() re-admits newly-eligible archived rows."""
+        cfg = self.cfg
         trans = self.t["transitions"].read(self.spark)
         frontier = self.t["frontier"].read(self.spark)
         merged = self._effective_frontier(frontier, trans).select(
             [f.name for f in FRONTIER_SCHEMA.fields]
+        )
+        # normalize to the true bucket first (idempotent across compactions),
+        # then offset terminal rows into the archive partition range
+        true_bucket = bucket_expr(F.col("url_hash"), cfg.n_buckets)
+        merged = merged.withColumn(
+            "bucket",
+            F.when(self._active_state_pred(), true_bucket)
+            .otherwise(true_bucket + F.lit(cfg.n_buckets))
+            .cast("int"),
         )
         self.t["frontier"].overwrite_partitions(
             merged, "bucket", {"op": "compact"}, replace_all=True
         )
         self.t["transitions"].append_local([], TRANSITIONS_SCHEMA, {"op": "compact"},
                                            overwrite=True)
+
+    def _read_active_frontier(self) -> DataFrame:
+        """Frontier rows that can still become eligible: partition-pruned to
+        the active bucket range (appends and pre-archive rows are bucketed
+        0..n_buckets-1; archived terminal rows live at +n_buckets and are
+        skipped file-level)."""
+        return self.t["frontier"].read_partitions(
+            self.spark, "bucket", list(range(self.cfg.n_buckets))
+        )
 
     def _with_robots_allowed(self, df: DataFrame) -> DataFrame:
         """Stamp the once-per-URL robots verdict (df has registrable_domain, url)."""
@@ -471,7 +516,11 @@ class Crawler:
             cached.append(df)
             return df
 
-        frontier = self.t["frontier"].read(spark)
+        # Eligibility only ever needs rows that can still become eligible —
+        # archived terminal rows (bucket ≥ n_buckets since the last compact)
+        # are pruned file-level here; the dedup known-set below still reads
+        # them via the {b, b+n_buckets} partition pair.
+        frontier = self._read_active_frontier()
         trans = self.t["transitions"].read(spark)
         host_state = self.t["host_state"].read(spark)
 
@@ -677,8 +726,11 @@ class Crawler:
         def known_loader(buckets: list[int]) -> DataFrame:
             """Known keys (frontier ∪ seen) restricted to the given hash
             buckets — both tables are bucket-partitioned, so the backstop
-            anti-join reads only files that can hold a duplicate."""
-            fr = self.t["frontier"].read_partitions(spark, "bucket", buckets, frontier_snap0)
+            anti-join reads only files that can hold a duplicate. Frontier
+            archive partitions (terminal rows moved to bucket+n_buckets at
+            compaction) are part of the known set, hence the pair."""
+            both = list(buckets) + [b + cfg.n_buckets for b in buckets]
+            fr = self.t["frontier"].read_partitions(spark, "bucket", both, frontier_snap0)
             sn = self.t["seen"].read_partitions(spark, "bucket", buckets, seen_snap0)
             return fr.select("url_hash").unionByName(sn.select("url_hash"))
 

@@ -272,6 +272,40 @@ def test_entities_nested_table(spark, corpus, tmp_path):
         assert [cm["body"] for cm in r["issue"]["comments"]] == want_bodies
 
 
+def test_midcrawl_compaction_archives_terminal_rows(spark, corpus, baseline, tmp_path):
+    """Compaction migrates terminal rows to archive partitions
+    (bucket + n_buckets): the eligibility scan then reads a strict subset of
+    frontier files, archived URLs still dedup discovery, and a crawl with a
+    mid-crawl compact produces the identical outcome."""
+    pages, seeds, robots = corpus
+    cfg = _cfg(tmp_path / "arch")
+    c = Crawler(spark, cfg, pages, robots)
+    c.init_frontier(seeds)
+    c.run_round(0)
+    c.run_round(1)
+    c.compact()
+    full = c.t["frontier"].read(spark)
+    active = c._read_active_frontier()
+    assert len(active.inputFiles()) < len(full.inputFiles())
+    archived = full.filter(F.col("bucket") >= cfg.n_buckets).collect()
+    assert archived  # two rounds fetched something
+    assert all(r["state"] in ("fetched", "failed") for r in archived)
+    assert not active.filter(F.col("bucket") >= cfg.n_buckets).take(1)
+    # finish the crawl across the compaction boundary: discovery must still
+    # dedup against archived URLs and the outcome must match the clean run
+    k = 2
+    empty = 0
+    while k < cfg.max_rounds and empty < cfg.empty_rounds_stop:
+        s = c.run_round(k)
+        empty = empty + 1 if s["eligible"] == 0 else 0
+        k += 1
+    c.compact()
+    assert _crawl_outcome(spark, c) == baseline
+    # no URL was fetched twice (fetch-once semantics survive archiving)
+    res = c.t["results"].read(spark)
+    assert res.count() == res.select("url_hash").distinct().count()
+
+
 def test_lineage_recorded(spark, corpus, tmp_path):
     pages, seeds, robots = corpus
     c = Crawler(spark, _cfg(tmp_path / "lin"), pages, robots)
