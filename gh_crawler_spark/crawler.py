@@ -284,6 +284,8 @@ class Crawler:
 
         # distributed fold of the seed keys into the fresh Bloom; the returned
         # key count doubles as the frontier cardinality (no separate count job)
+        if self._bloom is not None:
+            self._bloom.close()  # release superseded broadcast handles
         self._bloom = self._empty_bloom()
         self._known_count = self._bloom.add_df(
             self.t["frontier"].read(self.spark).select("url_hash")
@@ -422,6 +424,9 @@ class Crawler:
             .limit(1)
             .collect()
         )
+        if self._bloom is not None:
+            self._bloom.close()
+            self._bloom = None
         if not last:
             self._known_count = self.t["frontier"].read(self.spark).count()
             self._bloom = PartitionedBloom.build(

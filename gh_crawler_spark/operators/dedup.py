@@ -19,9 +19,11 @@ splits the membership test in two:
 Bucketing is what makes 10^10 viable: 4096 buckets at ~2.4M keys/bucket and
 1% fpp is ~2.9 MB/bucket (SURVEY.md §7); executors touch only the buckets
 their partitions hash to, and the per-round incremental build only rebuilds
-buckets that gained keys. In this sandbox the whole dict is broadcast (tens of
-MB at test scale); on a real cluster the dict is either torrent-broadcast the
-same way or carried as a bucket-aligned sidecar table.
+buckets that gained keys. The full bitmap dict is torrent-broadcast ONCE per
+filter lifetime; subsequent rounds ship only the touched buckets' delta
+bitmaps (see :class:`PartitionedBloom` broadcast lifecycle). On a real
+cluster the same dict could alternatively be carried as a bucket-aligned
+sidecar table.
 """
 
 from __future__ import annotations
@@ -72,6 +74,37 @@ def _bucket_bitmaps(
     )
 
 
+def _probe_delta_view(
+    keys: np.ndarray, view: dict, n_buckets: int, m: int, k: int
+) -> np.ndarray:
+    """Membership probe against one delta view. Each bucket entry is either
+    ``("d", uint8 bitmap)`` (dense) or ``("p", sorted int positions)``
+    (sparse); position buckets are probed with ``searchsorted`` — no dense
+    inflation on the worker."""
+    res = np.zeros(len(keys), dtype=bool)
+    if len(keys) == 0 or not view:
+        return res
+    buckets = np.mod(keys.astype(np.int64), n_buckets)
+    buckets = np.where(buckets < 0, buckets + n_buckets, buckets)
+    for b in np.unique(buckets):
+        entry = view.get(int(b))
+        if entry is None:
+            continue
+        tag, data = entry
+        sel = buckets == b
+        sub = keys[sel].astype(np.uint64)
+        hit = np.ones(sub.shape, dtype=bool)
+        for pos in _positions(sub, k, m):
+            if tag == "d":
+                hit &= (data[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+            else:
+                idx = np.searchsorted(data, pos)
+                in_range = idx < len(data)
+                hit &= in_range & (data[np.minimum(idx, len(data) - 1)] == pos)
+        res[sel] = hit
+    return res
+
+
 def _positions(h: np.ndarray, k: int, m: int) -> Iterator[np.ndarray]:
     """k deterministic bit positions per 64-bit key (double-hashing scheme)."""
     h = h.astype(np.uint64)
@@ -87,15 +120,37 @@ class PartitionedBloom:
 
     Built distributively (one grouped-map batch per bucket) and then
     maintained **incrementally**: each crawl round folds its new keys in with
-    :meth:`add_np` instead of rebuilding — at steady state maintenance cost is
+    :meth:`add_df` instead of rebuilding — at steady state maintenance cost is
     O(new keys), not O(all keys). Correctness never depends on this filter
     (exact anti-join backstop in filter_unseen); it must only never go stale
-    on the NEGATIVE side, which add_np guarantees by construction.
+    on the NEGATIVE side, which the add paths guarantee by construction.
 
-    At true 10^10 scale the per-round add switches from a driver-side numpy
-    update (fine up to ~10^6 new keys/round) to the same grouped-map build
-    restricted to changed buckets, merged bucket-wise.
+    **Broadcast lifecycle** (round-2 verdict #1): the full bitmap dict is
+    broadcast exactly ONCE per filter lifetime; each round's probe ships only
+    a delta view of the bits set since the last probe. Because keys hash
+    uniformly over buckets, a round's new keys touch *every* bucket — so a
+    dense per-bucket delta would be as big as the filter itself. Instead each
+    delta bucket is encoded as its **sorted set-bit positions** whenever that
+    is smaller than the dense bitmap (it is, whenever new-keys-per-round ≪
+    filter capacity — the steady state), making the per-round network cost
+    O(new keys · k), not O(filter): at the 10^10 design point (12 GB filter),
+    a 10^6-URL round ships ~30 MB. Workers probe position views directly with
+    ``searchsorted`` — deltas are never inflated to dense bitmaps.
+
+    The probe ORs the base and delta views — sound because every key's k bits
+    land wholly inside one delta (or the base after a consolidation), so a
+    true positive hits in at least one view; false-positive rate sums across
+    views, which only sends a few extra rows to the exact backstop. When
+    accumulated delta bytes exceed ``consolidate_ratio`` of the base (or
+    ``max_delta_views`` views), everything merges into one fresh full
+    broadcast and every superseded handle is ``destroy()``ed — driver memory
+    and probe cost stay bounded over arbitrarily long crawls.
     """
+
+    #: consolidate when deltas reach this fraction of the base bitmap bytes
+    consolidate_ratio = 0.5
+    #: ... or when this many delta views have piled up (probe cost is O(views))
+    max_delta_views = 8
 
     def __init__(self, n_buckets: int, bits_per_bucket: int, k: int,
                  bitmaps: dict[int, "np.ndarray"]):
@@ -103,6 +158,26 @@ class PartitionedBloom:
         self.bits_per_bucket = bits_per_bucket
         self.k = k
         self.bitmaps = bitmaps  # bucket -> uint8 bit array (little-endian)
+        # broadcast lifecycle state
+        self._base_bc = None            # Broadcast of the full bitmap dict
+        self._delta_bcs: list = []      # Broadcasts of per-round delta dicts
+        self._delta_bytes = 0           # total bytes across shipped deltas
+        self._pending_delta: dict[int, np.ndarray] = {}  # not yet broadcast
+        self.n_full_broadcasts = 0      # instrumentation (asserted in tests)
+        self.n_delta_broadcasts = 0
+
+    def _merge_delta(self, bucket: int, delta: np.ndarray) -> None:
+        """OR a bucket delta into both the live filter and the pending view."""
+        bits = self.bitmaps.get(bucket)
+        if bits is None:
+            self.bitmaps[bucket] = delta.copy()
+        else:
+            np.bitwise_or(bits, delta, out=bits)
+        pend = self._pending_delta.get(bucket)
+        if pend is None:
+            self._pending_delta[bucket] = delta.copy()
+        else:
+            np.bitwise_or(pend, delta, out=pend)
 
     def add_np(self, keys: np.ndarray) -> None:
         """Fold new 64-bit keys into the bucket bitmaps (driver-side numpy;
@@ -113,12 +188,11 @@ class PartitionedBloom:
         buckets = np.mod(keys, self.n_buckets)
         buckets = np.where(buckets < 0, buckets + self.n_buckets, buckets)
         for b in np.unique(buckets):
-            bits = self.bitmaps.get(int(b))
-            if bits is None:
-                bits = self.bitmaps[int(b)] = np.zeros(self.bits_per_bucket // 8, dtype=np.uint8)
+            delta = np.zeros(self.bits_per_bucket // 8, dtype=np.uint8)
             sub = keys[buckets == b].astype(np.uint64)
             for pos in _positions(sub, self.k, self.bits_per_bucket):
-                np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+                np.bitwise_or.at(delta, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+            self._merge_delta(int(b), delta)
 
     def add_df(self, df: DataFrame, key_col: str = "url_hash") -> int:
         """Fold new keys in DISTRIBUTED: per-bucket delta bitmaps are built by
@@ -131,7 +205,9 @@ class PartitionedBloom:
         the previous per-round ``collect()`` of url_hashes was the flagship
         pipeline's one serial collection point and an OOM risk at 10^7+
         new URLs/round). The returned count doubles as the round's n_new so
-        callers don't need a separate ``count()`` job.
+        callers don't need a separate ``count()`` job. The deltas also feed
+        the next probe's delta broadcast (see class docstring) — the full
+        filter is never re-shipped.
         """
         rows = _bucket_bitmaps(
             df, key_col, self.n_buckets, self.bits_per_bucket, self.k, with_count=True
@@ -139,12 +215,9 @@ class PartitionedBloom:
         total = 0
         for r in rows:
             total += int(r["n_keys"])
-            delta = np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8)
-            bits = self.bitmaps.get(int(r["bucket"]))
-            if bits is None:
-                self.bitmaps[int(r["bucket"])] = delta.copy()
-            else:
-                np.bitwise_or(bits, delta, out=bits)
+            self._merge_delta(
+                int(r["bucket"]), np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8)
+            )
         return total
 
     # -- build --------------------------------------------------------------
@@ -208,17 +281,103 @@ class PartitionedBloom:
             res[sel] = hit
         return res
 
+    def _destroy_bc(self, bc) -> None:
+        try:
+            bc.destroy()
+        except Exception:
+            pass  # already destroyed / context gone — nothing to release
+
+    def _encode_pending(self) -> tuple[dict, int]:
+        """Pending dense deltas -> broadcastable view, choosing per bucket the
+        smaller of (sparse sorted positions | dense bitmap). Positions use the
+        narrowest int dtype that holds ``bits_per_bucket``."""
+        pos_dtype = np.int32 if self.bits_per_bucket < 2**31 else np.int64
+        view, nbytes = {}, 0
+        for b, pend in self._pending_delta.items():
+            positions = np.flatnonzero(
+                np.unpackbits(pend, bitorder="little")
+            ).astype(pos_dtype)
+            if positions.nbytes < pend.nbytes:
+                view[b] = ("p", positions)
+                nbytes += positions.nbytes
+            else:
+                view[b] = ("d", pend.copy())
+                nbytes += pend.nbytes
+        return view, nbytes
+
+    def _refresh_broadcasts(self, spark) -> None:
+        """Advance the broadcast views to cover the live filter.
+
+        First probe: ship the full dict once. Later probes: ship only the
+        pending delta (bits set since the last probe, position-encoded when
+        sparse). When accumulated deltas pass ``consolidate_ratio``·base or
+        ``max_delta_views``, merge everything into one fresh full broadcast
+        and destroy every superseded handle.
+        """
+        sc = spark.sparkContext
+
+        def consolidate():
+            old = [self._base_bc] + self._delta_bcs
+            self._base_bc = sc.broadcast({b: a.copy() for b, a in self.bitmaps.items()})
+            self.n_full_broadcasts += 1
+            self._delta_bcs = []
+            self._delta_bytes = 0
+            self._pending_delta = {}
+            for bc in old:
+                if bc is not None:
+                    self._destroy_bc(bc)
+
+        if self._base_bc is None:
+            consolidate()
+            return
+        if not self._pending_delta:
+            return
+        base_bytes = sum(a.nbytes for a in self.bitmaps.values()) or 1
+        view, pend_bytes = self._encode_pending()
+        if (
+            len(self._delta_bcs) >= self.max_delta_views
+            or self._delta_bytes + pend_bytes > self.consolidate_ratio * base_bytes
+        ):
+            consolidate()
+            return
+        self._delta_bcs.append(sc.broadcast(view))
+        self.n_delta_broadcasts += 1
+        self._delta_bytes += pend_bytes
+        self._pending_delta = {}
+
+    def close(self) -> None:
+        """Destroy every live broadcast handle (call at crawl end)."""
+        for bc in [self._base_bc] + self._delta_bcs:
+            if bc is not None:
+                self._destroy_bc(bc)
+        self._base_bc = None
+        self._delta_bcs = []
+        self._delta_bytes = 0
+
     def might_contain_udf(self, spark) -> "F.udf":
-        """Pandas UDF probing the broadcast bitmap dict."""
-        bc = spark.sparkContext.broadcast(
-            (self.n_buckets, self.bits_per_bucket, self.k, self.bitmaps)
-        )
+        """Pandas UDF probing the broadcast views (base ∪ deltas).
+
+        A key is flagged maybe-seen iff SOME view has all its k bits set —
+        sound because each key's bits are folded wholly into one pending
+        delta (``_merge_delta``) and hence land in exactly one shipped view.
+        """
+        self._refresh_broadcasts(spark)
+        # capture broadcast handles + scalars only — capturing `self` would
+        # pickle the full bitmap dict into the task closure, defeating the
+        # whole lifecycle
+        base_bc = self._base_bc
+        delta_bcs = tuple(self._delta_bcs)
+        nb, m, k = self.n_buckets, self.bits_per_bucket, self.k
 
         @F.pandas_udf(T.BooleanType())
         def probe(keys: pd.Series) -> pd.Series:
-            nb, m, k, maps = bc.value
-            bloom = PartitionedBloom(nb, m, k, maps)
-            return pd.Series(bloom.might_contain_np(keys.to_numpy()))
+            arr = keys.to_numpy()
+            res = PartitionedBloom(nb, m, k, base_bc.value).might_contain_np(arr)
+            for dbc in delta_bcs:
+                if res.all():
+                    break
+                res |= _probe_delta_view(arr, dbc.value, nb, m, k)
+            return pd.Series(res)
 
         return probe
 
@@ -259,6 +418,9 @@ def filter_unseen(
     """
     if (seen is None) == (seen_loader is None):
         raise ValueError("pass exactly one of seen / seen_loader")
+    if seen_loader is not None and bloom is None:
+        raise ValueError("seen_loader requires bloom (bucket pruning is driven "
+                         "by the Bloom-positive suspect slice)")
 
     def anti(cands: DataFrame, seen_keys: DataFrame) -> DataFrame:
         if broadcast_candidates:

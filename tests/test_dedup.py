@@ -69,3 +69,69 @@ def test_filter_unseen_without_bloom(spark):
     cands = spark.range(0, 100).select(F.xxhash64("id").alias("url_hash"))
     seen = spark.range(50, 100).select(F.xxhash64("id").alias("url_hash"))
     assert filter_unseen(cands, seen).count() == 50
+
+
+def test_seen_loader_requires_bloom(spark):
+    import pytest
+
+    cands = spark.range(0, 10).select(F.xxhash64("id").alias("url_hash"))
+    with pytest.raises(ValueError, match="seen_loader requires bloom"):
+        filter_unseen(cands, seen_loader=lambda b: cands, n_buckets=8)
+
+
+def test_broadcast_lifecycle_one_full_ship_then_deltas(spark):
+    """Round-2 verdict #1: the full bitmap dict is broadcast once per filter
+    lifetime; per-round probes ship only touched-bucket deltas, with
+    correctness (no false negatives) preserved across base+delta views."""
+    # steady-state sizing: per-round new keys ≪ filter capacity, so each
+    # delta position-encodes far smaller than the base bitmap
+    bloom = PartitionedBloom.empty(n_buckets=8, expected_per_bucket=5000)
+    seen_rounds = []
+    for rnd in range(4):
+        new = spark.range(rnd * 200, rnd * 200 + 200).select(
+            F.xxhash64("id").alias("url_hash")
+        )
+        assert bloom.add_df(new) == 200
+        seen_rounds.append(new)
+        probe = bloom.might_contain_udf(spark)  # what filter_unseen calls
+        all_seen = seen_rounds[0]
+        for df in seen_rounds[1:]:
+            all_seen = all_seen.unionByName(df)
+        # every seen key must be flagged by the base∪delta probe
+        flagged = all_seen.withColumn("m", probe(F.col("url_hash")))
+        assert flagged.filter(~F.col("m")).count() == 0
+    assert bloom.n_full_broadcasts == 1            # full ship happened ONCE
+    assert bloom.n_delta_broadcasts == 3           # one tiny delta per later round
+    # idle probe (no adds since last refresh) ships nothing new
+    bloom.might_contain_udf(spark)
+    assert bloom.n_full_broadcasts == 1 and bloom.n_delta_broadcasts == 3
+    # fpp stays sane across summed views
+    fresh = spark.range(10_000_000, 10_005_000).select(F.xxhash64("id").alias("url_hash"))
+    probe = bloom.might_contain_udf(spark)
+    fp = fresh.withColumn("m", probe(F.col("url_hash"))).filter(F.col("m")).count()
+    assert fp / 5000 < 0.08
+    bloom.close()
+
+
+def test_broadcast_lifecycle_consolidates(spark):
+    """Delta views past max_delta_views merge into ONE fresh full broadcast
+    and the superseded handles are destroyed (bounded driver memory)."""
+    bloom = PartitionedBloom.empty(n_buckets=4, expected_per_bucket=200)
+    bloom.max_delta_views = 2
+    bloom.consolidate_ratio = 100.0  # isolate the view-count trigger
+    for rnd in range(6):
+        new = spark.range(rnd * 100, rnd * 100 + 100).select(
+            F.xxhash64("id").alias("url_hash")
+        )
+        bloom.add_df(new)
+        bloom.might_contain_udf(spark)
+    # rounds: full, d1, d2, full(consolidate), d1, d2
+    assert bloom.n_full_broadcasts == 2
+    assert len(bloom._delta_bcs) <= bloom.max_delta_views
+    # post-consolidation probe still has zero false negatives
+    probe = bloom.might_contain_udf(spark)
+    seen_only = spark.createDataFrame(
+        [(i,) for r in range(6) for i in range(r * 100, r * 100 + 100)], "id BIGINT"
+    ).select(F.xxhash64("id").alias("url_hash"))
+    assert seen_only.withColumn("m", probe(F.col("url_hash"))).filter(~F.col("m")).count() == 0
+    bloom.close()
