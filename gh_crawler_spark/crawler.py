@@ -97,6 +97,15 @@ class CrawlConfig:
     # entities table (issue number/state + comments array — the reference's
     # repo -> PR -> comments data model, src/models.py:62-116)
     extract_entities: bool = False
+    # F3: per-scope out-link predicates (reference src/pr_scraper.py:431-448 —
+    # only same-repo /pull/N links survive discovery). Both act on CANONICAL
+    # link + parent URLs, before dedup/anti-join:
+    #   link_shape      — regex the link must contain (rlike / re.search)
+    #   link_same_scope — regex with ONE capture group; the link is kept only
+    #                     when its group-1 equals the parent page's group-1
+    #                     (both must match — non-matching links are dropped)
+    link_shape: str | None = None
+    link_same_scope: str | None = None
 
 
 FRONTIER_SCHEMA = T.StructType(
@@ -739,11 +748,23 @@ class Crawler:
             sn = self.t["seen"].read_partitions(spark, "bucket", buckets, seen_snap0)
             return fr.select("url_hash").unionByName(sn.select("url_hash"))
 
-        links = (
-            ok.select(
-                F.col("priority").alias("parent_priority"),
-                F.explode("outlinks").alias("url"),
+        exploded = ok.select(
+            F.col("priority").alias("parent_priority"),
+            F.col("url").alias("__parent_url"),
+            F.explode("outlinks").alias("url"),
+        )
+        # F3: per-scope link predicates — pure column exprs, applied BEFORE
+        # the groupBy/anti-join so filtered links never enter the shuffle
+        if cfg.link_shape is not None:
+            exploded = exploded.filter(F.col("url").rlike(cfg.link_shape))
+        if cfg.link_same_scope is not None:
+            link_scope = F.regexp_extract("url", cfg.link_same_scope, 1)
+            parent_scope = F.regexp_extract("__parent_url", cfg.link_same_scope, 1)
+            exploded = exploded.filter(
+                (link_scope != "") & (link_scope == parent_scope)
             )
+        links = (
+            exploded.drop("__parent_url")
             .withColumn("url_hash", url_hash_expr(F.col("url")))
             # deterministic dedup: several parents may link the same URL —
             # keep max priority (dropDuplicates would pick an arbitrary row)
@@ -882,6 +903,24 @@ class Crawler:
         if os.environ.get("SPARK_GRAFT_PROFILE"):
             out["prof"] = prof
         return out
+
+    def checkpoint_stats(self) -> DataFrame:
+        """A6: checkpoint-statistics rollup over the rounds lineage table
+        (reference ``get_statistics``, src/checkpoint_manager.py:282-296):
+        completed rounds, fetched/failed totals, success rate, last round."""
+        rounds = self.t["rounds"].read(self.spark)
+        fetched = F.sum("fetched")
+        failed = F.sum("failed")
+        return rounds.agg(
+            F.count("*").alias("rounds"),
+            F.sum(F.col("completed").cast("long")).alias("completed_rounds"),
+            fetched.alias("fetched"),
+            failed.alias("failed"),
+            F.round(fetched / F.greatest(fetched + failed, F.lit(1)), 6)
+            .alias("success_rate"),
+            F.max("round").alias("last_round"),
+            F.sum("wall_ms").alias("total_wall_ms"),
+        )
 
     # ------------------------------------------------------------------ run
     def run(self, seeds: DataFrame | None = None, max_rounds: int | None = None,

@@ -1320,71 +1320,175 @@ WHERE doc_id % 10 != 0
 """
 
 
+def q_f3_same_repo_pull_links(spark, sf_dir):
+    """F3: per-repo URL predicate (reference src/pr_scraper.py:431-448) —
+    an extracted out-link is valid only if it is a ``/pull/N`` URL of the
+    SAME repo as the page it came from. Static regex, captured repo compared
+    to the page's repo — no per-row pattern compilation."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    links = F.array(
+        F.concat(F.lit("https://git.example/org/"), F.col("source"),
+                 F.lit("/pull/"), (F.col("doc_id") + 1).cast("string")),
+        F.concat(F.lit("https://git.example/org/other/pull/"), did),
+        F.concat(F.lit("https://git.example/org/"), F.col("source"),
+                 F.lit("/issues/"), did),
+        F.concat(F.lit("https://git.example/org/"), F.col("source"),
+                 F.lit("/pull/"), did, F.lit("/files")),
+    )
+    link_repo = F.regexp_extract(
+        F.col("link"), r"^https://git\.example/org/([^/]+)/pull/\d+$", 1
+    )
+    return (
+        d.select("doc_id", "source", F.explode(links).alias("link"))
+        .withColumn("valid", (link_repo != "") & (link_repo == F.col("source")))
+    )
+
+
+SQL_F3 = r"""
+WITH links AS (
+  SELECT doc_id, source, UNNEST(ARRAY[
+    'https://git.example/org/' || source || '/pull/' || CAST(doc_id + 1 AS VARCHAR),
+    'https://git.example/org/other/pull/' || CAST(doc_id AS VARCHAR),
+    'https://git.example/org/' || source || '/issues/' || CAST(doc_id AS VARCHAR),
+    'https://git.example/org/' || source || '/pull/' || CAST(doc_id AS VARCHAR) || '/files'
+  ]) AS link
+  FROM documents)
+SELECT doc_id, source, link,
+       (regexp_extract(link, '^https://git\.example/org/([^/]+)/pull/\d+$', 1) <> ''
+        AND regexp_extract(link, '^https://git\.example/org/([^/]+)/pull/\d+$', 1) = source) AS valid
+FROM links
+"""
+
+
+def q_f5_id_range_sanity(spark, sf_dir):
+    """F5: id-range sanity predicate (reference src/issue_validator.py:18-41:
+    ``0 < n <= 100000``) — candidates outside the plausible range are
+    rejected before any fetch is attempted."""
+    d = _t(spark, sf_dir, "documents")
+    cand = (F.col("doc_id") * 37 % 150000) - 5
+    return d.select(
+        "doc_id",
+        cand.alias("candidate"),
+        ((cand > 0) & (cand <= 100000)).alias("valid"),
+    )
+
+
+SQL_F5 = """
+SELECT doc_id, (doc_id * 37) % 150000 - 5 AS candidate,
+       ((doc_id * 37) % 150000 - 5 > 0 AND (doc_id * 37) % 150000 - 5 <= 100000) AS valid
+FROM documents
+"""
+
+
+def q_a6_checkpoint_stats(spark, sf_dir):
+    """A6: checkpoint-statistics rollup (reference get_statistics,
+    src/checkpoint_manager.py:282-296): totals, completed/failed split,
+    completion rate, last-update watermark — one single-pass aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    failed = F.sum((F.col("event_type") == "error").cast("long"))
+    total = F.count("*")
+    return ev.agg(
+        total.alias("total"),
+        (total - failed).alias("completed"),
+        failed.alias("failed"),
+        F.round((total - failed) / total, 6).alias("completion_rate"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_updated"),
+    )
+
+
+SQL_A6 = """
+SELECT CAST(count(*) AS BIGINT) AS total,
+       CAST(count(*) - sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS completed,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+       round((count(*) - sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)) * 1.0 / count(*), 6) AS completion_rate,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_updated
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
+# ORDER MATTERS: the per-round driver records correctness rows for only the
+# FIRST 50 entries. The first block therefore holds every operator family's
+# flagship (all F/J/A/W/L/T plus the strongest X/U/td representatives); the
+# second block holds sibling/variant entries — still verified by
+# tools/check_oracles.py, just past the driver's recording cap.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- filters -----------------------------------------------------------
     "f1_priority_filter": (q_f1_priority_filter, SQL_F1),
+    "f3_same_repo_pull_links": (q_f3_same_repo_pull_links, SQL_F3),
     "f4_state_isin": (q_f4_state_isin, SQL_F4),
+    "f5_id_range_sanity": (q_f5_id_range_sanity, SQL_F5),
     "f6_min_content": (q_f6_min_content, SQL_F6),
     "f10_status_classify": (q_f10_status_classify, SQL_F10),
+    # --- joins -------------------------------------------------------------
     "j1_seen_anti_join": (q_j1_seen_anti_join, SQL_J1),
     "j2_remaining_work": (q_j2_remaining_work, SQL_J2),
-    "j4_hash_equi_join": (q_j4_hash_equi_join, SQL_J4),
+    "j4b_nested_embed": (q_j4b_nested_embed, SQL_J4B),
     "j5_lead_join": (q_j5_lead_join, SQL_J5),
+    "j6_selector_rank_dedup": (q_j6_selector_rank_dedup, SQL_J6),
+    "j8_short_sha_join": (q_j8_short_sha_join, SQL_J8),
     "j9_lookup_join": (q_j9_lookup_join, SQL_J9),
+    # --- aggregates --------------------------------------------------------
     "a1_pricing_summary": (q_a1_pricing_summary, SQL_A1),
+    "a2_a3_derived_arithmetic": (q_a2_a3_derived_arithmetic, SQL_A2A3),
     "a4_conditional_counts": (q_a4_conditional_counts, SQL_A4),
     "a5_progress_summary": (q_a5_progress_summary, SQL_A5),
+    "a6_checkpoint_stats": (q_a6_checkpoint_stats, SQL_A6),
     "a7_throughput": (q_a7_throughput, SQL_A7),
     "a8_success_rate": (q_a8_success_rate, SQL_A8),
+    "a9_cache_stats": (q_a9_cache_stats, SQL_A9),
+    "a11_validation_agg": (q_a11_validation_agg, SQL_A11),
+    # --- windows / limits / unions -----------------------------------------
     "w1_topk_per_key": (q_w1_topk_per_key, SQL_W1),
+    "w2_budget_override": (q_w2_budget_override, SQL_W2),
     "w4_chronological_concat": (q_w4_chronological_concat, SQL_W4),
     "w5_first_wins_dedup": (q_w5_first_wins_dedup, SQL_W5),
+    "l1_budget_cap": (q_l1_budget_cap, SQL_L1),
     "l2_global_topk": (q_l2_global_topk, SQL_L2),
     "l3_truncation": (q_l3_truncation, SQL_L3),
     "u1_union_dedup": (q_u1_union_dedup, SQL_U1),
-    "u3_except": (q_u3_except, SQL_U3),
+    # --- extraction --------------------------------------------------------
     "x2_extract_int": (q_x2_extract_int, SQL_X2),
-    "x3_k_suffix": (q_x3_k_suffix, SQL_X3),
+    "x4_entity_id": (q_x4_entity_id, SQL_X4),
     "x5_canonicalize": (q_x5_canonicalize, SQL_X5),
     "x7_registrable_domain": (q_x7_registrable_domain, SQL_X7),
+    "x9_sha_extract": (q_x9_sha_extract, SQL_X9),
+    "x10b_embedded_timeline": (q_x10b_embedded_timeline, SQL_X10B),
+    "x11_content_cleaning": (q_x11_content_cleaning, SQL_X11),
     "x12_split_cleanup": (q_x12_split_cleanup, SQL_X12),
-    "x13_timestamp_roundtrip": (q_x13_timestamp_roundtrip, SQL_X13),
+    "x14_state_classify": (q_x14_state_classify, SQL_X14),
+    # --- temporal/politeness + flagship pipeline ---------------------------
     "t2_backoff_schedule": (q_t2_backoff_schedule, SQL_T2),
+    "t5_failure_ttl": (q_t5_failure_ttl, SQL_T5),
     "t10_staleness": (q_t10_staleness, SQL_T10),
-    "l1_budget_cap": (q_l1_budget_cap, SQL_L1),
-    "a2_a3_derived_arithmetic": (q_a2_a3_derived_arithmetic, SQL_A2A3),
+    "frontier_pipeline": (q_frontier_pipeline, SQL_FRONTIER),
+    # --- training-data pipeline flagships ----------------------------------
+    "td_text_analysis": (q_td_text_analysis, SQL_TD_TEXT),
+    "td_dedup_exact": (q_td_dedup_exact, SQL_TD_DEDUP_EXACT),
+    "td_ngram_jaccard_pruned": (q_td_ngram_jaccard_pruned, SQL_TD_JACCARD_PRUNED),
+    "td_cc_groups": (q_td_cc_groups, SQL_TD_CC),
+    "td_ann_cosine": (q_td_ann_cosine, SQL_TD_ANN),
+    "td_media_meta": (q_td_media_meta, SQL_TD_MEDIA),
+    "td_frame_sample": (q_td_frame_sample, SQL_TD_FRAMES),
+    # ===== entries below are PAST the driver's 50-entry recording cap ======
+    # (siblings/variants of the flagships above; oracled via check_oracles)
+    "j4_hash_equi_join": (q_j4_hash_equi_join, SQL_J4),
+    "x3_k_suffix": (q_x3_k_suffix, SQL_X3),
+    "x13_timestamp_roundtrip": (q_x13_timestamp_roundtrip, SQL_X13),
     "u2_union_seen_sets": (q_u2_union_seen_sets, SQL_U2),
-    "j6_selector_rank_dedup": (q_j6_selector_rank_dedup, SQL_J6),
-    "j4b_nested_embed": (q_j4b_nested_embed, SQL_J4B),
-    "a11_validation_agg": (q_a11_validation_agg, SQL_A11),
+    "u3_except": (q_u3_except, SQL_U3),
     "x6_url_to_filename": (q_x6_url_to_filename, SQL_X6),
     "x8_ref_extract": (q_x8_ref_extract, SQL_X8),
     "x10_embedded_json": (q_x10_embedded_json, SQL_X10),
     "x15_duration_format": (q_x15_duration_format, SQL_X15),
     "x16_url_hash": (q_x16_url_hash, None),
-    "frontier_pipeline": (q_frontier_pipeline, SQL_FRONTIER),
-    "td_text_analysis": (q_td_text_analysis, SQL_TD_TEXT),
-    "td_dedup_exact": (q_td_dedup_exact, SQL_TD_DEDUP_EXACT),
     "td_ngram_jaccard": (q_td_ngram_jaccard, SQL_TD_JACCARD),
     "td_minhash_lsh": (q_td_minhash_lsh, None),
     "td_simhash": (q_td_simhash, None),
-    "td_ann_cosine": (q_td_ann_cosine, SQL_TD_ANN),
     "td_lsh_ann": (q_td_lsh_ann, None),
     "td_ivf_ann": (q_td_ivf_ann, None),
-    "td_media_meta": (q_td_media_meta, SQL_TD_MEDIA),
-    "td_frame_sample": (q_td_frame_sample, SQL_TD_FRAMES),
-    "x4_entity_id": (q_x4_entity_id, SQL_X4),
-    "x9_sha_extract": (q_x9_sha_extract, SQL_X9),
-    "x10b_embedded_timeline": (q_x10b_embedded_timeline, SQL_X10B),
-    "x11_content_cleaning": (q_x11_content_cleaning, SQL_X11),
-    "x14_state_classify": (q_x14_state_classify, SQL_X14),
-    "j8_short_sha_join": (q_j8_short_sha_join, SQL_J8),
-    "t5_failure_ttl": (q_t5_failure_ttl, SQL_T5),
-    "w2_budget_override": (q_w2_budget_override, SQL_W2),
-    "a9_cache_stats": (q_a9_cache_stats, SQL_A9),
-    "td_ngram_jaccard_pruned": (q_td_ngram_jaccard_pruned, SQL_TD_JACCARD_PRUNED),
-    "td_cc_groups": (q_td_cc_groups, SQL_TD_CC),
 }

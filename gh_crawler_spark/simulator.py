@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import re
 from dataclasses import dataclass, field
 from urllib import robotparser
 from urllib.parse import quote, urlsplit
@@ -209,6 +210,15 @@ class SimCrawler:
             for link in extract_outlinks_py(html, url):
                 lh = xxhash64_py(link)
                 n_links += 1
+                # F3 mirror: per-scope link predicates (crawler.py discovery)
+                if cfg.link_shape is not None and not re.search(cfg.link_shape, link):
+                    continue
+                if cfg.link_same_scope is not None:
+                    lm = re.search(cfg.link_same_scope, link)
+                    pm = re.search(cfg.link_same_scope, url)
+                    if (lm is None or pm is None or not lm.group(1)
+                            or lm.group(1) != pm.group(1)):
+                        continue
                 prev = new_best.get(lh)
                 p = max(e.priority * cfg.priority_decay, 0.01)
                 if prev is None or p > prev[1]:

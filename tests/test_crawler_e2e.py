@@ -233,6 +233,44 @@ def test_budget_overrides_match_simulator(spark, corpus, tmp_path):
     assert per_round and max(per_round.values()) <= 2
 
 
+def test_link_scope_filter_matches_simulator(spark, corpus, baseline, tmp_path):
+    """F3: per-scope out-link predicates in discovery — only same-domain
+    links whose path matches the shape survive (the reference's same-repo
+    /pull/N validation, src/pr_scraper.py:431-448). Engine == spec, and the
+    filter provably shrinks the crawl vs the unfiltered baseline."""
+    import dataclasses
+
+    pages, seeds, robots = corpus
+    cfg = dataclasses.replace(
+        _cfg(tmp_path / "f3"),
+        # shape: only links into pages whose last path segment is word-N;
+        # scope: same registrable-ish domain as the linking page
+        link_shape=r"/[a-z]+-\d+",
+        link_same_scope=r"https://(?:www\.|cdn\.|app\.)?([a-z0-9.-]+?)(?:[:/]|$)",
+    )
+    c = Crawler(spark, cfg, pages, robots)
+    c.run(seeds=seeds)
+    fetch_sets, seen = _crawl_outcome(spark, c)
+
+    sim_pages = {
+        canonicalize_url_py(r["url"]): bytes(r["html"])
+        for r in pages.select("url", "html").collect()
+    }
+    sim_robots = {
+        r["registrable_domain"]: (r["robots_rules"], r["crawl_delay_ms"])
+        for r in robots.collect()
+    }
+    sim = SimCrawler(dataclasses.replace(cfg, root=str(tmp_path / "f3sim")),
+                     sim_pages, sim_robots)
+    sim.seed([(r["url"], r["priority"]) for r in seeds.collect()])
+    sim.run(transient_fn=lambda url, att: xxhash64_py(url + str(att)) % FAIL_MOD == 0)
+    assert seen == sim.seen
+    assert fetch_sets == set(sim.fetch_log)
+    # the predicate binds: a same-scope crawl discovers strictly fewer URLs
+    _, baseline_seen = baseline
+    assert len(seen) < len(baseline_seen)
+
+
 def test_entities_nested_table(spark, corpus, tmp_path):
     """X10/X14 engine path: the embedded page-data JSON is parsed into a
     NESTED entities table (issue number/state + comments array<struct>),
@@ -318,3 +356,9 @@ def test_lineage_recorded(spark, corpus, tmp_path):
     # snapshot ids recorded per round are readable (time travel)
     for r in rounds:
         assert c.t["results"].read(spark, r["results_snap"]) is not None
+    # A6: the checkpoint-stats rollup agrees with the raw lineage rows
+    stats = c.checkpoint_stats().collect()[0]
+    assert stats["rounds"] == stats["completed_rounds"] == 3
+    assert stats["fetched"] == sum(r["fetched"] for r in rounds)
+    assert stats["last_round"] == 2
+    assert 0.0 <= stats["success_rate"] <= 1.0
