@@ -172,11 +172,14 @@ ROUNDS_SCHEMA = T.StructType(
 
 # Nested per-page entities (X10/X14 + the j4b collect shape): one row per
 # fetched page carrying the parsed issue struct — number, state, and the
-# IssueComment-typed timeline nodes as an array<struct>.
+# IssueComment-typed timeline nodes as a CHRONOLOGICALLY-sorted array of the
+# full Comment struct (author, timestamp, content — reference
+# src/models.py:38-42, sort at src/pr_scraper.py:721-722).
 ENTITIES_DDL = (
     "url_hash BIGINT, url STRING, round INT, "
     "issue STRUCT<number: BIGINT, state: STRING, "
-    "comments: ARRAY<STRUCT<body: STRING>>>"
+    "comments: ARRAY<STRUCT<author: STRING, timestamp: TIMESTAMP, "
+    "content: STRING>>>"
 )
 
 # Schema of the embedded page-data payload written by sources/pages.py
@@ -185,7 +188,8 @@ PAYLOAD_DDL = (
     "payload STRUCT<preloadedQueries: ARRAY<STRUCT<result: STRUCT<data: "
     "STRUCT<repository: STRUCT<issue: STRUCT<number: BIGINT, state: STRING, "
     "frontTimelineItems: STRUCT<edges: ARRAY<STRUCT<node: "
-    "STRUCT<__typename: STRING, body: STRING>>>>>>>>>>>"
+    "STRUCT<__typename: STRING, author: STRUCT<login: STRING>, "
+    "createdAt: STRING, body: STRING>>>>>>>>>>>"
 )
 
 
@@ -720,7 +724,21 @@ class Crawler:
                     issue["frontTimelineItems"]["edges"],
                     lambda e: e["node"]["__typename"] == "IssueComment",
                 ),
-                lambda e: F.struct(e["node"]["body"].alias("body")),
+                lambda e: F.struct(
+                    e["node"]["author"]["login"].alias("author"),
+                    F.to_timestamp(
+                        e["node"]["createdAt"], "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                    ).alias("timestamp"),
+                    e["node"]["body"].alias("content"),
+                ),
+            )
+            # W4 inside the engine table: comments chronologically sorted
+            # (reference src/pr_scraper.py:721-722), JVM-side comparator
+            comments = F.array_sort(
+                comments,
+                lambda a, b: F.when(a["timestamp"] < b["timestamp"], -1)
+                .when(a["timestamp"] > b["timestamp"], 1)
+                .otherwise(0),
             )
             entities_rows = ok.filter(F.col("embedded_json").isNotNull()).select(
                 "url_hash",

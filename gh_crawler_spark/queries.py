@@ -1057,32 +1057,45 @@ _X10B_SCHEMA = (
     "payload STRUCT<preloadedQueries: ARRAY<STRUCT<result: STRUCT<data: "
     "STRUCT<repository: STRUCT<issue: STRUCT<number: BIGINT, state: STRING, "
     "frontTimelineItems: STRUCT<edges: ARRAY<STRUCT<node: "
-    "STRUCT<__typename: STRING, body: STRING>>>>>>>>>>>"
+    "STRUCT<__typename: STRING, author: STRUCT<login: STRING>, "
+    "createdAt: STRING, body: STRING>>>>>>>>>>>"
 )
 
 
 def _x10b_json_spark():
+    """Fixture payload with the full Comment shape (author/createdAt/body,
+    reference src/models.py:38-42); comment timestamps are REVERSED for even
+    doc_ids so the chronological sort (W4) is observable."""
     state = (
         F.when(F.col("doc_id") % 3 == 0, "open")
         .when(F.col("doc_id") % 3 == 1, "closed")
         .otherwise("merged")
     )
     did = F.col("doc_id").cast("string")
+    even = F.col("doc_id") % 2 == 0
+    ts1 = F.when(even, "2024-03-01T02:00:00Z").otherwise("2024-03-01T01:00:00Z")
+    ts2 = F.when(even, "2024-03-01T01:00:00Z").otherwise("2024-03-01T02:00:00Z")
+    a1 = F.concat(F.lit("u"), (F.col("doc_id") % 7).cast("string"))
+    a2 = F.concat(F.lit("u"), ((F.col("doc_id") + 3) % 7).cast("string"))
     return F.concat(
         F.lit('{"payload":{"preloadedQueries":[{"result":{"data":{"repository":'
               '{"issue":{"number":'), did,
         F.lit(',"state":"'), state,
         F.lit('","frontTimelineItems":{"edges":['
-              '{"node":{"__typename":"IssueComment","body":"b'), did, F.lit('-1"}},'
+              '{"node":{"__typename":"IssueComment","author":{"login":"'), a1,
+        F.lit('"},"createdAt":"'), ts1,
+        F.lit('","body":"b'), did, F.lit('-1"}},'
               '{"node":{"__typename":"CrossReferencedEvent","body":"x"}},'
-              '{"node":{"__typename":"IssueComment","body":"b'), did,
-        F.lit('-2"}}]}}}}}}]}}'),
+              '{"node":{"__typename":"IssueComment","author":{"login":"'), a2,
+        F.lit('"},"createdAt":"'), ts2,
+        F.lit('","body":"b'), did, F.lit('-2"}}]}}}}}}]}}'),
     )
 
 
 def q_x10b_embedded_timeline(spark, sf_dir):
-    """X10 (deep): 5-level nested embedded-JSON extraction with typename
-    filtering — explicit schema, from_json, explode; no Python."""
+    """X10 (deep) + W4: 5-level nested embedded-JSON extraction with
+    typename filtering and CHRONOLOGICAL comment ordering — explicit schema,
+    from_json, array_sort comparator, posexplode; no Python."""
     d = _t(spark, sf_dir, "documents")
     parsed = d.select(
         "doc_id", F.from_json(_x10b_json_spark(), _X10B_SCHEMA).alias("j")
@@ -1090,29 +1103,59 @@ def q_x10b_embedded_timeline(spark, sf_dir):
     q = parsed.select(
         "doc_id", F.explode("j.payload.preloadedQueries").alias("pq")
     ).select("doc_id", F.col("pq.result.data.repository.issue").alias("issue"))
+    comments = F.transform(
+        F.filter(
+            F.col("issue.frontTimelineItems.edges"),
+            lambda e: e["node"]["__typename"] == "IssueComment",
+        ),
+        lambda e: F.struct(
+            e["node"]["author"]["login"].alias("author"),
+            F.to_timestamp(e["node"]["createdAt"], "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .alias("timestamp"),
+            e["node"]["body"].alias("content"),
+        ),
+    )
+    comments = F.array_sort(
+        comments,
+        lambda a, b: F.when(a["timestamp"] < b["timestamp"], -1)
+        .when(a["timestamp"] > b["timestamp"], 1)
+        .otherwise(0),
+    )
     return (
         q.select(
             "doc_id",
             F.col("issue.number").alias("issue_number"),
             F.col("issue.state").alias("issue_state"),
-            F.explode("issue.frontTimelineItems.edges").alias("e"),
+            F.posexplode(comments).alias("pos", "c"),
         )
-        .filter(F.col("e.node.__typename") == "IssueComment")
-        .select("doc_id", "issue_number", "issue_state",
-                F.col("e.node.body").alias("body"))
+        .select(
+            "doc_id", "issue_number", "issue_state",
+            (F.col("pos") + 1).cast("int").alias("seq"),
+            F.col("c.author").alias("author"),
+            F.date_format("c.timestamp", "yyyy-MM-dd HH:mm:ss").alias("created_ts"),
+            F.col("c.content").alias("content"),
+        )
     )
 
 
-# Oracle: the fixture is deterministic, so the expected rows are derivable
-# directly — 2 IssueComment bodies per doc; the engine must recover exactly
-# these values from the nested JSON for the hashes to match.
+# Oracle: the fixture is deterministic and closed-form — after the
+# chronological sort, seq 1 is always the 01:00 comment; for even doc_ids
+# that is comment #2 (timestamps reversed in the raw payload), so the sort
+# is genuinely exercised, not a no-op.
 SQL_X10B = """
+WITH c AS (
+  SELECT doc_id, seq,
+         CASE WHEN doc_id % 2 = 0 THEN 3 - seq ELSE seq END AS cidx
+  FROM documents, (VALUES (1), (2)) AS t(seq))
 SELECT doc_id,
        CAST(doc_id AS BIGINT) AS issue_number,
        CASE WHEN doc_id % 3 = 0 THEN 'open'
             WHEN doc_id % 3 = 1 THEN 'closed' ELSE 'merged' END AS issue_state,
-       'b' || CAST(doc_id AS VARCHAR) || '-' || CAST(seq AS VARCHAR) AS body
-FROM documents, (VALUES (1), (2)) AS t(seq)
+       CAST(seq AS INT) AS seq,
+       'u' || CAST((doc_id + CASE WHEN cidx = 1 THEN 0 ELSE 3 END) % 7 AS VARCHAR) AS author,
+       '2024-03-01 0' || CAST(seq AS VARCHAR) || ':00:00' AS created_ts,
+       'b' || CAST(doc_id AS VARCHAR) || '-' || CAST(cidx AS VARCHAR) AS content
+FROM c
 """
 
 

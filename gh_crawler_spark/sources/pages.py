@@ -134,17 +134,31 @@ _ISSUE_STATES = ("open", "closed", "merged")
 def embedded_payload(seed: int, i: int) -> str:
     """Deterministic nested page-data JSON (the reference's preloadedQueries
     shape, src/issue_scraper.py:408-505): issue number/state + timeline edges
-    where only __typename == 'IssueComment' nodes are real comments. Word-only
-    bodies keep the payload valid JSON without escaping."""
+    where only __typename == 'IssueComment' nodes are real comments, each
+    carrying the full Comment payload — author login, createdAt, body (the
+    reference's ``Comment(author, timestamp, content)``, src/models.py:38-42).
+    Comment timestamps are deliberately NOT in document order for ~half the
+    pages, so the engine's chronological sort (src/pr_scraper.py:721-722) is
+    observable. Word-only bodies keep the payload valid JSON without
+    escaping."""
     state = _ISSUE_STATES[_h(seed, "state", i) % 3]
     b1, b2 = _sentence(seed, i, 300), _sentence(seed, i, 301)
+    a1 = "user-%d" % (_h(seed, "auth", i, 1) % 50)
+    a2 = "user-%d" % (_h(seed, "auth", i, 2) % 50)
+    t1 = _h(seed, "cts", i, 1) % 86000
+    t2 = _h(seed, "cts", i, 2) % 86000
+    if t2 == t1:
+        t2 = t1 + 11
+    iso = lambda s: (
+        dt.datetime(2024, 3, 1) + dt.timedelta(seconds=s)
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
     return (
         '{"payload":{"preloadedQueries":[{"result":{"data":{"repository":'
         '{"issue":{"number":%d,"state":"%s","frontTimelineItems":{"edges":['
-        '{"node":{"__typename":"IssueComment","body":"%s"}},'
+        '{"node":{"__typename":"IssueComment","author":{"login":"%s"},"createdAt":"%s","body":"%s"}},'
         '{"node":{"__typename":"CrossReferencedEvent","body":"ref"}},'
-        '{"node":{"__typename":"IssueComment","body":"%s"}}]}}}}}}]}}'
-        % (i, state, b1, b2)
+        '{"node":{"__typename":"IssueComment","author":{"login":"%s"},"createdAt":"%s","body":"%s"}}]}}}}}}]}}'
+        % (i, state, a1, iso(t1), b1, a2, iso(t2), b2)
     )
 
 

@@ -272,10 +272,12 @@ def test_link_scope_filter_matches_simulator(spark, corpus, baseline, tmp_path):
 
 
 def test_entities_nested_table(spark, corpus, tmp_path):
-    """X10/X14 engine path: the embedded page-data JSON is parsed into a
-    NESTED entities table (issue number/state + comments array<struct>),
-    matching the datagen payload value-for-value."""
+    """X10/X14/W4 engine path: the embedded page-data JSON is parsed into a
+    NESTED entities table — issue number/state + the full Comment struct
+    (author, timestamp, content), CHRONOLOGICALLY sorted — matching the
+    datagen payload value-for-value."""
     import dataclasses
+    import datetime as dtm
     import json
 
     from gh_crawler_spark.sources.pages import canonical_urls_py, embedded_payload
@@ -289,25 +291,41 @@ def test_entities_nested_table(spark, corpus, tmp_path):
     assert rows
     # one entities row per fetched page
     assert len(rows) == c.t["results"].read(spark).count()
-    # nested schema: issue struct with comments array<struct<body>>
+    # nested schema: issue struct with comments array<struct<author,ts,content>>
     f = {fld.name: fld for fld in ents.schema.fields}["issue"]
     assert f.dataType.typeName() == "struct"
+    comments_t = f.dataType["comments"].dataType.elementType
+    assert [x.name for x in comments_t.fields] == ["author", "timestamp", "content"]
     idx = {
         xxhash64_py(u): i
         for i, u in enumerate(canonical_urls_py(SEED, list(range(N_PAGES)), N_DOMAINS))
     }
+    saw_reordered = False
     for r in rows:
         i = idx[r["url_hash"]]
         want = json.loads(embedded_payload(SEED, i))
         issue = want["payload"]["preloadedQueries"][0]["result"]["data"]["repository"]["issue"]
         assert r["issue"]["number"] == i == issue["number"]
         assert r["issue"]["state"] == issue["state"]
-        want_bodies = [
-            e["node"]["body"]
+        raw = [
+            (
+                dtm.datetime.strptime(e["node"]["createdAt"], "%Y-%m-%dT%H:%M:%SZ"),
+                e["node"]["author"]["login"],
+                e["node"]["body"],
+            )
             for e in issue["frontTimelineItems"]["edges"]
             if e["node"]["__typename"] == "IssueComment"
         ]
-        assert [cm["body"] for cm in r["issue"]["comments"]] == want_bodies
+        want_sorted = sorted(raw)  # chronological (W4)
+        got = [
+            (cm["timestamp"], cm["author"], cm["content"])
+            for cm in r["issue"]["comments"]
+        ]
+        assert got == want_sorted
+        if want_sorted != raw:
+            saw_reordered = True
+    # the sort is observable: some payloads carry out-of-order comments
+    assert saw_reordered
 
 
 def test_midcrawl_compaction_archives_terminal_rows(spark, corpus, baseline, tmp_path):
