@@ -183,13 +183,22 @@ def ivf_build_centroids(
     cents = seeds
     for _ in range(lloyd_iters):
         assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
-        cents = (
+        refined = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cell", "pos")
             .agg(F.avg("v").alias("m"))
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        )
+        # empty-cluster fallback: a cell that lost all members keeps its
+        # previous centroid (the re-average groupBy only emits assigned
+        # cells; without this the quantizer silently shrinks below n_cells
+        # and nprobe≈n_cells quietly loses candidate space)
+        cents = (
+            cents.select("cell", F.col("centroid").alias("__prev"))
+            .join(refined.select("cell", F.col("centroid").alias("__new")), "cell", "left")
+            .select("cell", F.coalesce("__new", "__prev").alias("centroid"))
         )
     return cents
 
@@ -237,6 +246,12 @@ def ivf_topk(
     qcells = ivf_assign(queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell"
     )
+    return _ivf_rank(cells, qcells, k)
+
+
+def _ivf_rank(cells: DataFrame, qcells: DataFrame, k: int) -> DataFrame:
+    """Shared IVF re-rank: candidates share a probed cell; exact cosine
+    top-k per query (broadcast query side, bounded rank)."""
     scored = (
         cells.join(F.broadcast(qcells), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -249,6 +264,50 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def ivf_write_index(
+    index_table,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the cell-assigned corpus as a CELL-PARTITIONED snapshot table
+    — the inverted file. Every data file then belongs to exactly one cell,
+    so a probe can read nprobe/n_cells of the files instead of the corpus
+    (the same partition-pruning machinery the frontier uses for buckets)."""
+    assigned = ivf_assign(corpus, centroids, nprobe=1, id_col=id_col, vec_col=vec_col)
+    index_table.overwrite_partitions(
+        assigned.select(id_col, vec_col, "cell"), "cell",
+        {"op": "ivf_index"}, replace_all=True,
+    )
+
+
+def ivf_probe_index(
+    spark,
+    index_table,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a cell-partitioned IVF index: rank queries' nprobe nearest
+    cells, then scan ONLY those cells' files (file-level partition pruning)
+    for the exact re-rank. The collect here is the tiny distinct probed-cell
+    set (≤ |queries|·nprobe ints), never vector data."""
+    qcells = ivf_assign(queries, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell"
+    )
+    probe_cells = sorted(
+        int(r["cell"]) for r in qcells.select("cell").distinct().collect()
+    )
+    cells = index_table.read_partitions(spark, "cell", probe_cells).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    return _ivf_rank(cells, qcells, k)
 
 
 def cosine_near_dup_pairs(

@@ -81,21 +81,45 @@ def throughput_metrics_stream(
     )
 
 
+def token_bucket_admit(
+    ts_seconds, tokens: float, last_ts: float | None,
+    rate_per_s: float, capacity: float,
+):
+    """Pure per-row token-bucket pacing in event-time order — the semantic
+    core shared by the streaming worker and the batch-equivalence property
+    test (tests/test_streaming.py). Refills ``rate_per_s × Δt`` before EACH
+    row (capped at ``capacity``), admits while a whole token is available.
+    Returns (admitted flags, tokens, last_ts)."""
+    admitted = []
+    for t in ts_seconds:
+        if last_ts is not None and t > last_ts:
+            tokens = min(capacity, tokens + (t - last_ts) * rate_per_s)
+        last_ts = t if last_ts is None else max(last_ts, t)
+        if tokens >= 1.0:
+            tokens -= 1.0
+            admitted.append(True)
+        else:
+            admitted.append(False)
+    return admitted, tokens, last_ts
+
+
 def rate_limit_stream(
     extracted: DataFrame, rate_per_s: float = 1.0, capacity: float = 10.0
 ) -> DataFrame:
     """T1 as a CUSTOM STATEFUL streaming operator: a per-domain token bucket
     in Spark's state store via ``applyInPandasWithState``.
 
-    Each micro-batch, a domain's group gets its rows in event-time order;
-    the bucket refills by ``rate_per_s × elapsed-event-time`` (capped at
-    ``capacity``), admits one row per whole token, and stamps the rest
-    ``admitted = false`` (a real pipeline would route those to a retry
-    topic). State per key is two doubles — the canonical use of the state
-    store for politeness that must NOT outlive the query (durable politeness
-    lives in the host_state snapshot table; see module docstring).
+    Each micro-batch, a domain's group gets its rows in event-time order and
+    the bucket refills INCREMENTALLY row by row (``rate_per_s × Δ
+    event-time``, capped at ``capacity``) — a micro-batch spanning a long
+    event-time window paces admissions inside the window instead of
+    crediting the whole window's tokens up front. Rows without a whole
+    token are stamped ``admitted = false`` (a real pipeline would route
+    them to a retry topic). State per key is two doubles — the canonical
+    use of the state store for politeness that must NOT outlive the query
+    (durable politeness lives in the host_state snapshot table; see module
+    docstring).
     """
-    import pandas as pd  # noqa: F401  (worker-side import)
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
@@ -107,22 +131,19 @@ def rate_limit_stream(
     def bucket(key, pdfs, state):
         import pandas as pd
 
-        dom = key[0]
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["warc_ts", "url_hash"]).reset_index(drop=True)
         if state.exists:
             tokens, last_ts = state.get
         else:
             tokens, last_ts = float(capacity), None
-        now_ts = rows["warc_ts"].max().timestamp()
-        if last_ts is not None and now_ts > last_ts:
-            tokens = min(float(capacity), tokens + (now_ts - last_ts) * rate_per_s)
-        n_admit = min(len(rows), int(tokens))
-        tokens -= n_admit
-        state.update((float(tokens), float(now_ts)))
+        ts = [x.timestamp() for x in rows["warc_ts"]]
+        admitted, tokens, last_ts = token_bucket_admit(
+            ts, tokens, last_ts, rate_per_s, capacity
+        )
+        state.update((float(tokens), float(last_ts)))
         out = rows[["canonical_url", "url_hash", "registrable_domain", "warc_ts"]].copy()
-        out["admitted"] = [True] * n_admit + [False] * (len(rows) - n_admit)
-        assert out["registrable_domain"].eq(dom).all()
+        out["admitted"] = admitted
         yield out
 
     return extracted.groupBy("registrable_domain").applyInPandasWithState(

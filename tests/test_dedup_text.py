@@ -94,6 +94,28 @@ def test_connected_components_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 120-node chain has diameter 119 — naive min-propagation would need
+    119 rounds; pointer doubling must close it within max_iter=10
+    (log2(119) ≈ 7)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "d1 BIGINT, d2 BIGINT"
+    )
+    got = {r["doc_id"]: r["component"] for r in
+           connected_components(pairs, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(120)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "d1 BIGINT, d2 BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+
+
 def test_dedup_keep_first_exact_groups(spark):
     docs = spark.createDataFrame(
         [(i, f"t{i}") for i in range(6)], "doc_id BIGINT, text STRING"

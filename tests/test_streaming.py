@@ -65,6 +65,55 @@ def test_rate_limit_stream_stateful(spark, drop_dir, tmp_path):
     q.stop()
 
 
+def test_token_bucket_matches_batch_round_semantics():
+    """Property: on round-quantized event sequences the per-row streaming
+    bucket is EXACTLY the batch engine's per-round token bucket (refill
+    min(cap, t + rate·Δ) then admit ⌊tokens⌋) — the two implementations of
+    the T1 spec agree event-for-event."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gh_crawler_spark.streaming.stream import token_bucket_admit
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(0, 9), min_size=1, max_size=10),
+        st.floats(0.01, 0.5),
+        st.floats(1.0, 8.0),
+    )
+    def check(counts, rate, capacity):
+        round_s = 30.0
+        ts = [k * round_s for k, c in enumerate(counts) for _ in range(c)]
+        got, _, _ = token_bucket_admit(ts, capacity, None, rate, capacity)
+        # batch reference: the crawler's round recurrence
+        tokens, want = capacity, []
+        for k, c in enumerate(counts):
+            if k > 0:
+                tokens = min(capacity, tokens + rate * round_s)
+            n = min(c, int(tokens))
+            want += [True] * n + [False] * (c - n)
+            tokens -= n
+        assert got == want
+
+    check()
+
+
+def test_token_bucket_paces_within_batch():
+    """The intra-batch fix: events spread across a long event-time window
+    are paced row-by-row — a burst arriving early does not get the whole
+    window's refill credited up front."""
+    from gh_crawler_spark.streaming.stream import token_bucket_admit
+
+    # capacity 2, rate 0.1/s: burst of 5 at t=0, then one event at t=100
+    got, tokens, _ = token_bucket_admit(
+        [0.0] * 5 + [100.0], 2.0, None, 0.1, 2.0
+    )
+    assert got == [True, True, False, False, False, True]
+    # old batch-max semantics would have refilled 10 tokens (capped 2) at
+    # t=0 and admitted nothing at t=100; per-row pacing admits it
+    assert tokens == 1.0
+
+
 def test_throughput_metrics_stream(spark, drop_dir, tmp_path):
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(drop_dir)
     metrics = throughput_metrics_stream(stream_extract(stream), window="1 day")
