@@ -54,7 +54,12 @@ from gh_crawler_spark.functions.urls import (
     registrable_domain_expr,
     url_hash_expr,
 )
-from gh_crawler_spark.operators.dedup import PartitionedBloom, bucket_expr, filter_unseen
+from gh_crawler_spark.operators.dedup import (
+    PartitionedBloom,
+    bucket_expr,
+    flag_maybe_seen,
+    resolve_unseen,
+)
 from gh_crawler_spark.operators.politeness import (
     adapt_refill_rate,
     apply_circuit_breaker,
@@ -274,20 +279,17 @@ class Crawler:
         # seen carries the same hash bucket as the frontier; every append is
         # partitioned by it so the discovery backstop can prune to suspect
         # buckets (round-1 verdict #3: an unpartitioned seen table is a full
-        # map-side scan per round at 10^10 rows)
-        seen0 = self.spark.createDataFrame(
-            [], "url_hash BIGINT, bucket INT, crawl_ts TIMESTAMP"
+        # map-side scan per round at 10^10 rows). Empty-table bootstraps are
+        # schema-only manifest commits — no Spark write job each.
+        self.t["seen"].init_empty(
+            "url_hash BIGINT, bucket INT, crawl_ts TIMESTAMP", {"op": "init"}
         )
-        self.t["seen"].overwrite(seen0, {"op": "init"})
-        res0 = self.spark.createDataFrame(
-            [],
+        self.t["results"].init_empty(
             "url STRING, url_hash BIGINT, warc_ts TIMESTAMP, status STRING, "
             "text STRING, lang STRING, round INT",
+            {"op": "init"},
         )
-        self.t["results"].overwrite(res0, {"op": "init"})
-        self.t["entities"].overwrite(
-            self.spark.createDataFrame([], ENTITIES_DDL), {"op": "init"}
-        )
+        self.t["entities"].init_empty(ENTITIES_DDL, {"op": "init"})
 
         # host_state: one row per registrable domain seen so far; rate from
         # robots crawl_delay (reference analog: 0.1 s/req, src/config.py:81).
@@ -587,12 +589,6 @@ class Crawler:
             "priority", "next_fetch_ts", "attempt", "discovered_round",
         )
         batch = materialize(batch)  # reused 4×
-        n_batch = batch.count()
-        tick("schedule")
-        if n_batch == 0:
-            for df in cached:
-                df.unpersist(blocking=False)
-            return self._commit_empty_round(k, now_lit, host_state, t_start)
 
         # 4-5. fetch (simulated from the pages corpus) + extract -----------
         hit = self.pages_idx.join(F.broadcast(batch), "url_hash", "inner")
@@ -620,23 +616,100 @@ class Crawler:
             fetched = fetched.withColumn("embedded_json", F.col("page.embedded_json"))
         fetched = fetched.drop("html", "page")
         fetched = materialize(fetched)
-        # ONE action materializes fetch+extract AND serves status counts and
-        # per-partition lineage (a separate count() job would re-launch the
-        # scheduler for data this collect already forces)
-        stage_rows = (
+        ok = fetched.filter(F.col("fstatus") == "fetched")
+        failed_transient = fetched.filter(F.col("fstatus") == "transient")
+        missing = batch.join(fetched.select("url_hash"), "url_hash", "left_anti")
+
+        # Discovery candidates + Bloom flags, built BEFORE any action fires
+        # so the combined stats job below materializes schedule + fetch +
+        # extract + link-dedup + probe in ONE pass.
+        exploded = ok.select(
+            F.col("priority").alias("parent_priority"),
+            F.col("url").alias("__parent_url"),
+            F.explode("outlinks").alias("url"),
+        )
+        # F3: per-scope link predicates — pure column exprs, applied BEFORE
+        # the groupBy/anti-join so filtered links never enter the shuffle
+        if cfg.link_shape is not None:
+            exploded = exploded.filter(F.col("url").rlike(cfg.link_shape))
+        if cfg.link_same_scope is not None:
+            link_scope = F.regexp_extract("url", cfg.link_same_scope, 1)
+            parent_scope = F.regexp_extract("__parent_url", cfg.link_same_scope, 1)
+            exploded = exploded.filter(
+                (link_scope != "") & (link_scope == parent_scope)
+            )
+        links = (
+            exploded.drop("__parent_url")
+            .withColumn("url_hash", url_hash_expr(F.col("url")))
+            # deterministic dedup: several parents may link the same URL —
+            # keep max priority (dropDuplicates would pick an arbitrary row)
+            .groupBy("url_hash")
+            .agg(F.max("parent_priority").alias("parent_priority"), F.min("url").alias("url"))
+        )
+        flagged = materialize(flag_maybe_seen(links, self._bloom, spark))
+
+        # ONE action per round for every driver-side number (serial-floor
+        # cut, round-2 verdict #1): the scheduled-batch count, the per-status
+        # fetch counts, and the Bloom-suspect bucket list come back as one
+        # tagged union — one job launch instead of three, and it force-caches
+        # batch/fetched/flagged for every downstream branch.
+        b_stat = batch.agg(F.count("*").alias("n")).select(
+            F.lit("batch").alias("tag"), F.lit("").alias("fstatus"),
+            F.lit(-1).cast("int").alias("pid"), F.col("n").cast("long").alias("n"),
+            F.lit(0).cast("long").alias("raw_links"),
+            F.lit(-1).cast("int").alias("bucket"),
+        )
+        s_stat = (
             fetched.groupBy("fstatus", "pid")
             .agg(F.count("*").alias("n"), F.sum(F.size("outlinks")).alias("raw_links"))
-            .collect()
+            .select(
+                F.lit("stage").alias("tag"), "fstatus",
+                F.col("pid").cast("int").alias("pid"),
+                F.col("n").cast("long").alias("n"),
+                F.coalesce(F.col("raw_links"), F.lit(0)).cast("long").alias("raw_links"),
+                F.lit(-1).cast("int").alias("bucket"),
+            )
         )
-        tick("fetch_extract")
+        u_stat = (
+            flagged.filter(F.col("__maybe_seen"))
+            .select(bucket_expr(F.col("url_hash"), cfg.n_buckets).alias("bucket"))
+            .distinct()
+            .select(
+                F.lit("suspect").alias("tag"), F.lit("").alias("fstatus"),
+                F.lit(-1).cast("int").alias("pid"), F.lit(0).cast("long").alias("n"),
+                F.lit(0).cast("long").alias("raw_links"), "bucket",
+            )
+        )
+        stat_rows = b_stat.unionByName(s_stat).unionByName(u_stat).collect()
+        tick("sched_fetch_probe")
+        n_batch = sum(r["n"] for r in stat_rows if r["tag"] == "batch")
+        if n_batch == 0:
+            for df in cached:
+                df.unpersist(blocking=False)
+            # drained probe: when NO row can ever become eligible again the
+            # caller can stop immediately instead of counting empty rounds
+            # (and skip the bookkeeping commit — nothing changed, nothing
+            # will; resume replays the same empty round)
+            drained = (
+                current.filter(self._active_state_pred()).limit(1).count() == 0
+            )
+            if drained:
+                wall_ms = int((time.monotonic() - t_start) * 1000)
+                return {
+                    "round": k, "eligible": 0, "fetched": 0, "transient": 0,
+                    "missing": 0, "links": 0, "new": 0, "wall_ms": wall_ms,
+                    "drained": True,
+                }
+            return self._commit_empty_round(k, now_lit, host_state, t_start)
+        stage_rows = [r for r in stat_rows if r["tag"] == "stage"]
+        suspect_buckets = sorted(
+            int(r["bucket"]) for r in stat_rows if r["tag"] == "suspect"
+        )
         n_ok = sum(r["n"] for r in stage_rows if r["fstatus"] == "fetched")
         n_raw_links = sum(r["raw_links"] or 0 for r in stage_rows if r["fstatus"] == "fetched")
         n_transient = sum(r["n"] for r in stage_rows if r["fstatus"] == "transient")
         n_missing = n_batch - n_ok - n_transient
-        ok = fetched.filter(F.col("fstatus") == "fetched")
-        failed_transient = fetched.filter(F.col("fstatus") == "transient")
-        missing = batch.join(fetched.select("url_hash"), "url_hash", "left_anti")
-        tick("status_counts")
+        pool = ThreadPoolExecutor(max_workers=6)
 
         # Results/seen appends depend only on `ok` (already checkpointed):
         # start them NOW in background threads so the write overlaps the
@@ -705,7 +778,6 @@ class Crawler:
             F.col("new_attempt").alias("attempt"),
             F.lit(k).cast("int").alias("round"),
         )
-        pool = ThreadPoolExecutor(max_workers=5)
         fut_results = pool.submit(self.t["results"].append, results_rows, {"round": k})
         fut_seen = pool.submit(
             self.t["seen"].append, seen_rows, {"round": k}, "bucket"
@@ -766,37 +838,10 @@ class Crawler:
             sn = self.t["seen"].read_partitions(spark, "bucket", buckets, seen_snap0)
             return fr.select("url_hash").unionByName(sn.select("url_hash"))
 
-        exploded = ok.select(
-            F.col("priority").alias("parent_priority"),
-            F.col("url").alias("__parent_url"),
-            F.explode("outlinks").alias("url"),
-        )
-        # F3: per-scope link predicates — pure column exprs, applied BEFORE
-        # the groupBy/anti-join so filtered links never enter the shuffle
-        if cfg.link_shape is not None:
-            exploded = exploded.filter(F.col("url").rlike(cfg.link_shape))
-        if cfg.link_same_scope is not None:
-            link_scope = F.regexp_extract("url", cfg.link_same_scope, 1)
-            parent_scope = F.regexp_extract("__parent_url", cfg.link_same_scope, 1)
-            exploded = exploded.filter(
-                (link_scope != "") & (link_scope == parent_scope)
-            )
-        links = (
-            exploded.drop("__parent_url")
-            .withColumn("url_hash", url_hash_expr(F.col("url")))
-            # deterministic dedup: several parents may link the same URL —
-            # keep max priority (dropDuplicates would pick an arbitrary row)
-            .groupBy("url_hash")
-            .agg(F.max("parent_priority").alias("parent_priority"), F.min("url").alias("url"))
-        )
-        # links themselves are cached WITH the probe verdict (cache_fn below)
-        # so the explode/groupBy + bloom probe run exactly once per round
-        fresh = filter_unseen(
-            links, key_col="url_hash", bloom=self._bloom, spark=spark,
-            seen_loader=known_loader, n_buckets=cfg.n_buckets,
-            cache_fn=materialize,
-        )
-        tick("links_probe")  # links materialization + suspect-bucket collect
+        # links + probe verdicts were cached and their suspect buckets
+        # collected inside the combined stats action above — discovery here
+        # is just the exact backstop over the pruned known-key files
+        fresh = resolve_unseen(flagged, known_loader, suspect_buckets)
         new_rows = (
             fresh.withColumn("bucket", bucket_expr(F.col("url_hash"), cfg.n_buckets))
             .withColumn("host", host_expr(F.col("url")))
@@ -870,7 +915,10 @@ class Crawler:
         fut_frontier = pool.submit(
             self.t["frontier"].append, new_rows, {"round": k}, "bucket"
         )
-        host_snap = self.t["host_state"].overwrite(hs_new, {"round": k})
+        # host_state overwrite is independent of every other commit — run it
+        # in the pool too so the commit barrier is max(), not sum()
+        fut_host = pool.submit(self.t["host_state"].overwrite, hs_new, {"round": k})
+        host_snap = fut_host.result()
         frontier_snap = fut_frontier.result()
         transitions_snap = fut_trans.result()
         results_snap = fut_results.result()
@@ -956,6 +1004,8 @@ class Crawler:
             stats.append(s)
             if log:
                 log(s)
+            if s.get("drained"):
+                break  # no row can ever become eligible again (A10 fast path)
             empty = empty + 1 if s["eligible"] == 0 else 0
             if empty >= self.cfg.empty_rounds_stop:
                 break

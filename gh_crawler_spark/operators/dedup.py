@@ -382,6 +382,52 @@ class PartitionedBloom:
         return probe
 
 
+def _anti(cands: DataFrame, seen_keys: DataFrame, key_col: str,
+          broadcast_candidates: bool) -> DataFrame:
+    if broadcast_candidates:
+        hits = seen_keys.join(
+            F.broadcast(cands.select(key_col)), key_col, "left_semi"
+        )
+        return cands.join(F.broadcast(hits), key_col, "left_anti")
+    return cands.join(seen_keys, key_col, "left_anti")
+
+
+def flag_maybe_seen(
+    candidates: DataFrame,
+    bloom: PartitionedBloom,
+    spark=None,
+    key_col: str = "url_hash",
+) -> DataFrame:
+    """Phase 1 of the J1 dedup: stamp every candidate with the Bloom verdict
+    (``__maybe_seen``). Callers that orchestrate their own job fusion (the
+    crawl round collects suspect buckets inside a larger combined action)
+    cache this and pass the distinct suspect buckets to
+    :func:`resolve_unseen`; everyone else just calls :func:`filter_unseen`.
+    """
+    probe = bloom.might_contain_udf(spark or candidates.sparkSession)
+    return candidates.withColumn("__maybe_seen", probe(F.col(key_col)))
+
+
+def resolve_unseen(
+    flagged: DataFrame,
+    seen_loader,
+    suspect_buckets: list[int],
+    key_col: str = "url_hash",
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Phase 2: definite-negatives pass through; Bloom-positive suspects go
+    through the exact anti-join against ``seen_loader(suspect_buckets)``
+    (file-pruned to the buckets that can hold a duplicate)."""
+    definite_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    if not suspect_buckets:
+        return definite_new
+    suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    seen_keys = seen_loader(suspect_buckets).select(key_col)
+    return definite_new.unionByName(
+        _anti(suspects, seen_keys, key_col, broadcast_candidates)
+    )
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame | None = None,
@@ -422,40 +468,30 @@ def filter_unseen(
         raise ValueError("seen_loader requires bloom (bucket pruning is driven "
                          "by the Bloom-positive suspect slice)")
 
-    def anti(cands: DataFrame, seen_keys: DataFrame) -> DataFrame:
-        if broadcast_candidates:
-            hits = seen_keys.join(
-                F.broadcast(cands.select(key_col)), key_col, "left_semi"
-            )
-            return cands.join(F.broadcast(hits), key_col, "left_anti")
-        return cands.join(seen_keys, key_col, "left_anti")
-
     if bloom is None:
-        return anti(candidates, seen.select(key_col))
-    probe = bloom.might_contain_udf(spark or candidates.sparkSession)
-    flagged = candidates.withColumn("__maybe_seen", probe(F.col(key_col)))
+        return _anti(candidates, seen.select(key_col), key_col, broadcast_candidates)
+    flagged = flag_maybe_seen(candidates, bloom, spark, key_col)
     if cache_fn is not None:
         # the probe output is consumed 2-3× (suspect-bucket collect, the
         # definite-new branch, the anti-join branch); caching it here keeps
         # the pandas-UDF probe to ONE execution per round
         flagged = cache_fn(flagged)
-    definite_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
-    suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     if seen_loader is not None:
         if n_buckets is None:
             raise ValueError("seen_loader requires n_buckets")
         suspect_buckets = [
             int(r["b"])
-            for r in suspects.select(
+            for r in flagged.filter(F.col("__maybe_seen")).select(
                 F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int").alias("b")
             ).distinct().collect()
         ]
-        if not suspect_buckets:
-            return definite_new
-        seen_keys = seen_loader(suspect_buckets).select(key_col)
-    else:
-        seen_keys = seen.select(key_col)
-    return definite_new.unionByName(anti(suspects, seen_keys))
+        return resolve_unseen(flagged, seen_loader, suspect_buckets, key_col,
+                              broadcast_candidates)
+    definite_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    return definite_new.unionByName(
+        _anti(suspects, seen.select(key_col), key_col, broadcast_candidates)
+    )
 
 
 def bucket_expr(key: Column, n_buckets: int) -> Column:

@@ -234,6 +234,24 @@ class SnapshotTable:
         )
         return sid
 
+    def init_empty(
+        self, schema: "T.StructType | str", summary: dict[str, Any] | None = None
+    ) -> int:
+        """Commit an EMPTY overwrite snapshot carrying only a schema — no
+        Spark job, no data file (reads of a file-less snapshot already return
+        an empty typed DataFrame). Replaces the write-an-empty-DataFrame
+        table-bootstrap pattern, which cost one full Spark write job per
+        table at crawl init."""
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        prev = self.snapshot()
+        sid = self._next_sid()
+        self._commit(
+            Snapshot(sid, prev.snapshot_id if prev else None, "overwrite", [],
+                     schema.json(), summary or {}, int(time.time() * 1000))
+        )
+        return sid
+
     def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
         prev = self.snapshot()
         files = self._write_data(df, None)
