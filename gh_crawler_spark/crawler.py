@@ -111,6 +111,14 @@ class CrawlConfig:
     #                     (both must match — non-matching links are dropped)
     link_shape: str | None = None
     link_same_scope: str | None = None
+    # Fetch-join shape: True broadcasts the (small) scheduled batch against
+    # the fetch index — the steady-state crawl, batch ≪ corpus. False
+    # CO-PARTITIONS instead: the fetch index is persisted hash-partitioned
+    # on url_hash and the batch is shuffled to the same partitioning, so the
+    # join moves only the batch — the right shape when a round fetches a
+    # large fraction of the corpus (batch-refresh crawls), where a driver
+    # broadcast of the whole batch is itself a serial bottleneck.
+    broadcast_fetch: bool = True
 
 
 FRONTIER_SCHEMA = T.StructType(
@@ -227,7 +235,17 @@ class Crawler:
             F.col("warc_ts"),
             F.col("html"),
             F.col("lang"),
-        ).persist()
+        )
+        if not cfg.broadcast_fetch:
+            # co-partitioned fetch join (see CrawlConfig.broadcast_fetch):
+            # the cached index carries HashPartitioning(url_hash, N), so the
+            # per-round join shuffles ONLY the batch to match — the corpus
+            # never moves and nothing is broadcast
+            self._pages_parts = spark.sparkContext.defaultParallelism * 2
+            self.pages_idx = self.pages_idx.repartition(
+                self._pages_parts, "url_hash"
+            )
+        self.pages_idx = self.pages_idx.persist()
         self.robots = robots
         # Driver-side frontier-cardinality counter (sizes the Bloom build
         # without a count() job per round); set by init_frontier/resume.
@@ -591,7 +609,17 @@ class Crawler:
         batch = materialize(batch)  # reused 4×
 
         # 4-5. fetch (simulated from the pages corpus) + extract -----------
-        hit = self.pages_idx.join(F.broadcast(batch), "url_hash", "inner")
+        if cfg.broadcast_fetch:
+            hit = self.pages_idx.join(F.broadcast(batch), "url_hash", "inner")
+        else:
+            # shuffle only the batch onto the index's partitioning; the
+            # shuffle_hash hint keeps AQE from re-sorting the cached corpus
+            # (SMJ) or pulling the batch to the driver (broadcast)
+            hit = self.pages_idx.join(
+                batch.repartition(self._pages_parts, "url_hash").hint("shuffle_hash"),
+                "url_hash",
+                "inner",
+            )
         if cfg.transient_fail_mod > 1:
             transient = (
                 F.pmod(

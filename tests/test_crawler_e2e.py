@@ -271,6 +271,19 @@ def test_link_scope_filter_matches_simulator(spark, corpus, baseline, tmp_path):
     assert len(seen) < len(baseline_seen)
 
 
+def test_copartitioned_fetch_join_equivalent(spark, corpus, baseline, tmp_path):
+    """broadcast_fetch=False (batch-refresh shape): the co-partitioned
+    fetch join — corpus persisted hash-partitioned on url_hash, batch
+    shuffled to match, nothing broadcast — produces the identical crawl."""
+    import dataclasses
+
+    pages, seeds, robots = corpus
+    cfg = dataclasses.replace(_cfg(tmp_path / "cp"), broadcast_fetch=False)
+    c = Crawler(spark, cfg, pages, robots)
+    c.run(seeds=seeds)
+    assert _crawl_outcome(spark, c) == baseline
+
+
 def test_entities_nested_table(spark, corpus, tmp_path):
     """X10/X14/W4 engine path: the embedded page-data JSON is parsed into a
     NESTED entities table — issue number/state + the full Comment struct
