@@ -241,6 +241,11 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
+    # NOTE (round-3, measured): forcing broadcast(candidates)/broadcast(
+    # cand_docs) here is ~1.5x SLOWER at sf0.1 (min-of-3 A/B: 7.5s vs 11.0s)
+    # — the explicit hint materializes the band self-join early and blocks
+    # AQE, which already converts these tiny sides to broadcast at runtime.
+    # Left to AQE deliberately.
     sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
     common = (
         candidates

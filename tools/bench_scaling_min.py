@@ -83,6 +83,7 @@ def leg(cpus: int, n_pages: int, seeds: str) -> None:
     st = _load_state()
     entry = {
         "cpus": cpus, "n_pages": n_pages, "seeds": seeds,
+        "paras": os.environ.get("SPARK_GRAFT_CRAWL_PARAS", "150-350"),
         "wall_s": r["crawl"]["wall_s"], "urls_per_sec": r["crawl"]["urls_per_sec"],
         "rounds": r["crawl"]["rounds"], "load1_at_start": round(load1, 2),
     }
@@ -94,8 +95,12 @@ def leg(cpus: int, n_pages: int, seeds: str) -> None:
 def report(lo: int, hi: int, write: bool = True) -> None:
     st = _load_state()
     # compare like with like: only legs matching the most recent leg's config
-    key = (st["legs"][-1]["n_pages"], str(st["legs"][-1]["seeds"])) if st["legs"] else None
-    legs = [x for x in st["legs"] if (x["n_pages"], str(x["seeds"])) == key]
+    last = st["legs"][-1] if st["legs"] else None
+    key = (last["n_pages"], str(last["seeds"]), last.get("paras")) if last else None
+    legs = [
+        x for x in st["legs"]
+        if (x["n_pages"], str(x["seeds"]), x.get("paras")) == key
+    ]
     legs_lo = [leg for leg in legs if leg["cpus"] == lo]
     legs_hi = [leg for leg in legs if leg["cpus"] == hi]
     if not legs_lo or not legs_hi:
