@@ -34,8 +34,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle for each SQL-expressible query (omitted for
-    hash-sketch ops: x16_url_hash, td_minhash_lsh, td_simhash, td_lsh_ann —
-    driver records rows-only; their correctness is pytest-asserted)."""
+    hash-sketch ops: x16_url_hash, td_minhash_lsh, td_simhash, td_lsh_ann,
+    td_ivf_ann — driver records rows-only; each is pytest-asserted)."""
     from gh_crawler_spark.queries import QUERIES
 
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
