@@ -1,4 +1,4 @@
-"""Min-of-legs scaling measurement with host-load gating.
+"""Min-of-legs scaling measurement.
 
 The host carries erratic background load (BENCH.md documents a ~1.7x
 variance band), so a single N / 4N pair is hostage to whatever else the box
@@ -6,13 +6,15 @@ is doing. This driver runs alternating local[lo] / local[hi] legs, records
 every leg with the 1-minute load average observed at its start, keeps the
 MINIMUM wall per parallelism level (the legs with the least interference),
 and reports efficiency from those minima — the protocol BENCH.md documents.
+The recorded load1 is diagnostic bookkeeping; a leg is only *refused* when
+`--max-load <x>` is passed and load1 exceeds it at leg start.
 
 State accumulates in /tmp/scaling_min_state.json across invocations, so the
 measurement can be resumed whenever the host goes quiet.
 
 Usage:
   python tools/bench_scaling_min.py prep  <n_pages>          # pre-generate corpus
-  python tools/bench_scaling_min.py leg   <cpus> <n_pages> <seeds>
+  python tools/bench_scaling_min.py leg   <cpus> <n_pages> <seeds> [--max-load X]
   python tools/bench_scaling_min.py report <lo> <hi>         # print + append BENCH.md
 """
 
@@ -65,8 +67,12 @@ def prep(n_pages: int) -> None:
     print(f"corpus written: {out}")
 
 
-def leg(cpus: int, n_pages: int, seeds: str) -> None:
+def leg(cpus: int, n_pages: int, seeds: str, max_load: float | None = None) -> None:
     load1 = os.getloadavg()[0]
+    if max_load is not None and load1 > max_load:
+        print(json.dumps({"skipped": True, "load1": round(load1, 2),
+                          "max_load": max_load}))
+        raise SystemExit(3)
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -145,7 +151,10 @@ if __name__ == "__main__":
     if cmd == "prep":
         prep(int(sys.argv[2]))
     elif cmd == "leg":
-        leg(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        ml = None
+        if "--max-load" in sys.argv:
+            ml = float(sys.argv[sys.argv.index("--max-load") + 1])
+        leg(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], max_load=ml)
     elif cmd == "report":
         report(int(sys.argv[2]), int(sys.argv[3]), write="--dry" not in sys.argv)
     else:
