@@ -28,6 +28,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-priority", type=float, default=None,
                     help="seed priority threshold (reference: star threshold)")
     ap.add_argument("--max-rounds", type=int, default=50)
+    ap.add_argument("--compact-every", type=int, default=8,
+                    help="fold frontier/host deltas every N active rounds (0 = only at end)")
+    ap.add_argument("--no-broadcast-dims", action="store_true",
+                    help="don't force-broadcast host/robots dims (10^7+ domains; AQE decides)")
     ap.add_argument("--resume", action="store_true", help="resume from last completed round")
     ap.add_argument("--export-jsonl", help="export results to this JSONL dir at the end")
     ap.add_argument("--cores", type=int, default=None, help="local[N] (default local[*])")
@@ -63,7 +67,9 @@ def main(argv: list[str] | None = None) -> int:
 
             seeds = load_seeds_json(spark, args.seeds, min_priority=args.min_priority)
 
-    cfg = CrawlConfig(root=args.root, max_rounds=args.max_rounds)
+    cfg = CrawlConfig(root=args.root, max_rounds=args.max_rounds,
+                      compact_every_rounds=args.compact_every,
+                      broadcast_dims=not args.no_broadcast_dims)
     crawler = Crawler(spark, cfg, pages, robots)
     stats = crawler.run(seeds=seeds, log=lambda s: print(json.dumps(s), file=sys.stderr))
 

@@ -109,6 +109,15 @@ class CrawlConfig:
     #   link_same_scope — regex with ONE capture group; the link is kept only
     #                     when its group-1 equals the parent page's group-1
     #                     (both must match — non-matching links are dropped)
+    # REGEX SUBSET: the engine evaluates these with Java regex (rlike /
+    # regexp_extract) while the simulator spec uses Python ``re`` — like the
+    # canonicalize triple-implementation invariant, patterns must stay in the
+    # Java∩Python common subset: literals, classes ``[...]``, alternation,
+    # anchors, greedy/lazy quantifiers, ``\d \w \s``, plain groups. AVOID
+    # possessive quantifiers (``*+``), class intersection (``[a&&[b]]``),
+    # ``\h``/``\v``, and mid-pattern inline flags — Java-only; they would
+    # silently diverge engine-vs-spec. ``__post_init__`` validates the
+    # pattern compiles under Python ``re`` and rejects the Java-only tokens.
     link_shape: str | None = None
     link_same_scope: str | None = None
     # Fetch-join shape: True broadcasts the (small) scheduled batch against
@@ -119,6 +128,52 @@ class CrawlConfig:
     # large fraction of the corpus (batch-refresh crawls), where a driver
     # broadcast of the whole batch is itself a serial bottleneck.
     broadcast_fetch: bool = True
+    # Broadcast the per-domain dim tables (host_state latest view, robots
+    # rules) into the eligibility/robots joins. Right at sandbox scale and
+    # for most real crawls (≤ a few million domains). At 10^7-10^8
+    # registrable domains the forced broadcast would exceed driver memory —
+    # set False and the joins become plain equi-joins on registrable_domain,
+    # with AQE choosing broadcast/shuffle at runtime from actual sizes.
+    # (budget_overrides stays broadcast unconditionally: it is an explicit
+    # operator-supplied override list, small by construction.)
+    broadcast_dims: bool = True
+    # Fold the transitions delta back into the bucketed frontier every N
+    # rounds (0 = only at crawl end). The per-round eligibility pass replays
+    # the delta through a latest-wins window (_effective_frontier), so the
+    # delta must stay O(recent rounds) on long crawls — without periodic
+    # compaction it grows O(all state changes since the last compact) and
+    # per-round cost creeps upward (round-3 verdict #2).
+    compact_every_rounds: int = 8
+
+    def __post_init__(self) -> None:
+        # F3 regex subset validation (see the comment above link_shape):
+        # compile under Python re (the simulator side) and reject Java-only
+        # constructs textually; require exactly one capture group for
+        # link_same_scope (its semantics compare group 1).
+        import re as _re
+
+        for name in ("link_shape", "link_same_scope"):
+            pat = getattr(self, name)
+            if pat is None:
+                continue
+            try:
+                compiled = _re.compile(pat)
+            except _re.error as e:
+                raise ValueError(
+                    f"CrawlConfig.{name}: pattern must compile under Python "
+                    f"re (engine/simulator parity): {e}"
+                ) from e
+            for tok in ("*+", "++", "?+", "&&", r"\h", r"\H", r"\v", r"\V"):
+                if tok in pat:
+                    raise ValueError(
+                        f"CrawlConfig.{name}: '{tok}' is Java-regex-only and "
+                        "diverges from the Python re simulator spec"
+                    )
+            if name == "link_same_scope" and compiled.groups != 1:
+                raise ValueError(
+                    "CrawlConfig.link_same_scope needs exactly ONE capture "
+                    f"group (got {compiled.groups}); group 1 is the scope key"
+                )
 
 
 FRONTIER_SCHEMA = T.StructType(
@@ -250,6 +305,9 @@ class Crawler:
         # Driver-side frontier-cardinality counter (sizes the Bloom build
         # without a count() job per round); set by init_frontier/resume.
         self._known_count = 0
+        # Last round scheduled nothing -> next round probes batch emptiness
+        # cheaply before running the full stats DAG (empty-round fast path)
+        self._prev_round_empty = False
         # Incrementally-maintained URL-seen Bloom (built once past
         # bloom_min_keys, then add_np per round; reset on init/resume)
         self._bloom = None
@@ -270,6 +328,7 @@ class Crawler:
     def init_frontier(self, seeds: DataFrame) -> None:
         """Seeds -> canonical frontier rows; bootstrap all engine tables."""
         cfg, now0 = self.cfg, self.now(0)
+        self._prev_round_empty = False
         canon = canonicalize_url_expr(F.col("url"))
         fr = (
             seeds.select(
@@ -311,8 +370,14 @@ class Crawler:
 
         # host_state: one row per registrable domain seen so far; rate from
         # robots crawl_delay (reference analog: 0.1 s/req, src/config.py:81).
+        # Append-only thereafter: rounds append only touched domains (see
+        # _read_host_state), compact() folds.
+        # asof_round=-1 so a domain touched in round 0 (which appends an
+        # asof_round=0 row) never ties with its init row in the latest-wins
+        # window; the lazy refill is unaffected because init tokens start at
+        # capacity (already pinned at the cap, extra elapsed time is a no-op)
         domains = fr.select("registrable_domain").distinct()
-        hs = self._new_host_rows(domains)
+        hs = self._new_host_rows(domains, asof_round=-1)
         self.t["host_state"].overwrite(hs, {"op": "init"})
 
         # distributed fold of the seed keys into the fresh Bloom; the returned
@@ -399,6 +464,15 @@ class Crawler:
         )
         self.t["transitions"].append_local([], TRANSITIONS_SCHEMA, {"op": "compact"},
                                            overwrite=True)
+        # fold the host_state delta the same way: one row per domain again
+        # (asof_round kept — lazy refill keeps reading from it)
+        self.t["host_state"].overwrite(
+            self._read_host_state().select(*self.HOST_COLS), {"op": "compact"}
+        )
+        # seen gains one file per bucket per round; bin-pack the buckets that
+        # accumulated many small appends so the dedup backstop's pruned reads
+        # stay O(few files) per suspect bucket on long crawls
+        self.t["seen"].compact_small_files(self.spark, "bucket")
 
     def _read_active_frontier(self) -> DataFrame:
         """Frontier rows that can still become eligible: partition-pruned to
@@ -414,8 +488,10 @@ class Crawler:
         if self.robots is None:
             return df.withColumn("robots_allowed", F.lit(True))
         rules = self.robots.select("registrable_domain", "robots_rules")
+        if self.cfg.broadcast_dims:
+            rules = F.broadcast(rules)
         return (
-            df.join(F.broadcast(rules), "registrable_domain", "left")
+            df.join(rules, "registrable_domain", "left")
             .withColumn(
                 "robots_allowed",
                 F.coalesce(
@@ -425,10 +501,11 @@ class Crawler:
             .drop("robots_rules")
         )
 
-    def _new_host_rows(self, domains: DataFrame) -> DataFrame:
+    def _new_host_rows(self, domains: DataFrame, asof_round: int) -> DataFrame:
         cfg = self.cfg
         if self.robots is not None:
-            joined = domains.join(F.broadcast(self.robots), "registrable_domain", "left")
+            rob = F.broadcast(self.robots) if self.cfg.broadcast_dims else self.robots
+            joined = domains.join(rob, "registrable_domain", "left")
         else:
             joined = domains.withColumn("robots_rules", F.lit(None).cast("string")).withColumn(
                 "crawl_delay_ms", F.lit(100).cast("long")
@@ -444,6 +521,33 @@ class Crawler:
             (rate * cfg.token_capacity_s).alias("capacity"),
             F.lit(None).cast("timestamp").alias("blocked_until"),
             F.lit(0).cast("int").alias("failure_count"),
+            F.lit(asof_round).cast("int").alias("asof_round"),
+        )
+
+    HOST_COLS = (
+        "registrable_domain", "robots_rules", "crawl_delay_ms", "tokens",
+        "refill_rate", "base_refill_rate", "capacity", "blocked_until",
+        "failure_count", "asof_round",
+    )
+
+    def _read_host_state(self) -> DataFrame:
+        """Latest host row per registrable_domain (latest-wins by asof_round).
+
+        host_state is **append-only deltas** (round-3 verdict #3): each round
+        appends ONLY the domains it actually touched, stamped with the round;
+        compact() folds the deltas into one row per domain. Tokens are
+        refilled LAZILY at read time — ``min(cap, t + r·Δ)`` iterated once
+        per round equals a single capped refill over the total elapsed time
+        (if ``t + r ≥ cap`` the iterate pins at cap, and ``t + k·r ≥ cap``
+        for every later k), and untouched hosts change in NO other way per
+        round (adapt/breaker are identity on zero outcomes; e2e asserts
+        engine == simulator outcomes), so skipping their rewrite is exact."""
+        hs = self.t["host_state"].read(self.spark)
+        w = Window.partitionBy("registrable_domain").orderBy(F.col("asof_round").desc())
+        return (
+            hs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
         )
 
     # ---------------------------------------------------------------- resume
@@ -451,6 +555,7 @@ class Crawler:
         """Next round to run; rolls tables back to the last completed round's
         recorded snapshots (exactly-once semantics, SURVEY.md T6)."""
         rounds = self.t["rounds"].read(self.spark)
+        self._prev_round_empty = False
         last = (
             rounds.filter(F.col("completed"))
             .orderBy(F.col("round").desc())
@@ -490,21 +595,15 @@ class Crawler:
         )
         return int(row["round"]) + 1
 
-    def _commit_empty_round(self, k: int, now_lit, host_state: DataFrame,
-                            t_start: float) -> dict:
-        """Nothing eligible: only refill token buckets (semantically identical
-        to the full host-state fold at zero attempts/failures/successes — the
-        adaptive-rate rules and the trip-and-reset circuit breaker are both
-        no-ops on zero outcomes, and failure_count is < threshold between
-        rounds by the trip-reset invariant) and record the round for
-        resume/termination bookkeeping."""
-        cfg = self.cfg
-        hs_new = host_state.withColumn(
-            "tokens",
-            refill_tokens(F.col("tokens"), F.col("refill_rate"),
-                          F.lit(cfg.round_duration_s), F.col("capacity")),
-        )
-        host_snap = self.t["host_state"].overwrite(hs_new, {"round": k})
+    def _commit_empty_round(self, k: int, t_start: float) -> dict:
+        """Nothing eligible: record the round for resume/termination
+        bookkeeping. No host_state write at all — token refill is LAZY
+        (computed from asof_round at read time, see _read_host_state), and
+        an empty round changes nothing else (adapt/breaker are no-ops on
+        zero outcomes, failure_count < threshold between rounds by the
+        trip-reset invariant)."""
+        self._prev_round_empty = True
+        host_snap = self.t["host_state"].current_snapshot_id()
         wall_ms = int((time.monotonic() - t_start) * 1000)
         snaps = {
             n: self.t[n].current_snapshot_id()
@@ -560,7 +659,7 @@ class Crawler:
         # them via the {b, b+n_buckets} partition pair.
         frontier = self._read_active_frontier()
         trans = self.t["transitions"].read(spark)
-        host_state = self.t["host_state"].read(spark)
+        host_state = self._read_host_state()
 
         # 1-2. eligibility + politeness gates (latest-wins over the delta) --
         # T5: expired failures re-enter (their next_fetch_ts was stamped
@@ -579,12 +678,23 @@ class Crawler:
                 & (F.col("next_fetch_ts") <= now_lit)
                 & F.col("robots_allowed")
             )
-            .join(F.broadcast(host_state), "registrable_domain", "left")
+            .join(
+                F.broadcast(host_state) if cfg.broadcast_dims else host_state,
+                "registrable_domain",
+                "left",
+            )
             .filter(F.col("blocked_until").isNull() | (F.col("blocked_until") <= now_lit))
         )
         # 3. token-bucket budget -> skew-safe rank -------------------------
+        # LAZY refill: tokens in host_state are as-of asof_round (the last
+        # round that touched the host); refill covers the whole gap in one
+        # capped step — exactly equal to per-round iteration (cap commutes,
+        # see _read_host_state) — so untouched hosts never need a rewrite.
+        lazy_elapsed = (
+            (F.lit(k) - F.col("asof_round")).cast("double") * F.lit(cfg.round_duration_s)
+        )
         avail = refill_tokens(
-            F.col("tokens"), F.col("refill_rate"), F.lit(cfg.round_duration_s), F.col("capacity")
+            F.col("tokens"), F.col("refill_rate"), lazy_elapsed, F.col("capacity")
         )
         budget = F.floor(avail).cast("int")
         if self.budget_overrides is not None:  # W2: per-domain cap
@@ -607,6 +717,29 @@ class Crawler:
             "priority", "next_fetch_ts", "attempt", "discovered_round",
         )
         batch = materialize(batch)  # reused 4×
+
+        # Empty-round fast path (round-3 ADVICE): while waiting out backoffs
+        # the batch is empty round after round, but the combined stats action
+        # below still runs the full fetch-join/explode/probe DAG (with
+        # broadcast_fetch=False that shuffles against the persisted corpus
+        # each time). After any empty round, probe cheaply FIRST — one
+        # limit(1) job over the already-persisted batch — and skip straight
+        # to the drained/empty-commit path. Non-empty rounds (the common
+        # case) never pay the extra job.
+        if self._prev_round_empty and batch.limit(1).count() == 0:
+            for df in cached:
+                df.unpersist(blocking=False)
+            drained = (
+                current.filter(self._active_state_pred()).limit(1).count() == 0
+            )
+            if drained:
+                wall_ms = int((time.monotonic() - t_start) * 1000)
+                return {
+                    "round": k, "eligible": 0, "fetched": 0, "transient": 0,
+                    "missing": 0, "links": 0, "new": 0, "wall_ms": wall_ms,
+                    "drained": True,
+                }
+            return self._commit_empty_round(k, t_start)
 
         # 4-5. fetch (simulated from the pages corpus) + extract -----------
         if cfg.broadcast_fetch:
@@ -728,7 +861,7 @@ class Crawler:
                     "missing": 0, "links": 0, "new": 0, "wall_ms": wall_ms,
                     "drained": True,
                 }
-            return self._commit_empty_round(k, now_lit, host_state, t_start)
+            return self._commit_empty_round(k, t_start)
         stage_rows = [r for r in stat_rows if r["tag"] == "stage"]
         suspect_buckets = sorted(
             int(r["bucket"]) for r in stat_rows if r["tag"] == "suspect"
@@ -898,29 +1031,36 @@ class Crawler:
             n_new = new_rows.count()
         tick("discover")
 
-        # host_state: spend tokens, fold failures into the breaker ---------
+        # host_state fold: spend tokens, breaker — TOUCHED DOMAINS ONLY ----
+        # (round-3 verdict #3: the full-table overwrite was O(all domains
+        # ever seen) per round; at 10^7-10^8 registrable domains that is the
+        # same anti-pattern the frontier's transitions delta was built to
+        # avoid. A round now APPENDS one row per domain it scheduled — the
+        # only rows whose state changes beyond the lazy capped refill —
+        # plus rows for newly-discovered domains; _read_host_state resolves
+        # latest-wins and compact() folds the delta.)
         per_host = batch.groupBy("registrable_domain").agg(F.count("*").alias("attempted"))
         per_host_fail = (
             failed_transient.groupBy("registrable_domain").agg(F.count("*").alias("round_failures"))
         )
         per_host_ok = ok.groupBy("registrable_domain").agg(F.count("*").alias("round_successes"))
-        hs_new = (
-            host_state.join(per_host, "registrable_domain", "left")
+        hs_touched = (
+            host_state.join(per_host, "registrable_domain", "inner")
             .join(per_host_fail, "registrable_domain", "left")
             .join(per_host_ok, "registrable_domain", "left")
-            .na.fill({"attempted": 0, "round_failures": 0, "round_successes": 0})
+            .na.fill({"round_failures": 0, "round_successes": 0})
             .withColumn(
                 "tokens",
                 F.greatest(
                     F.lit(0.0),
                     refill_tokens(F.col("tokens"), F.col("refill_rate"),
-                                  F.lit(cfg.round_duration_s), F.col("capacity"))
+                                  lazy_elapsed, F.col("capacity"))
                     - F.col("attempted"),
                 )
             )
         )
         if cfg.adaptive_rate:
-            hs_new = hs_new.withColumn(
+            hs_touched = hs_touched.withColumn(
                 "refill_rate",
                 adapt_refill_rate(
                     F.col("refill_rate"), F.col("base_refill_rate"),
@@ -928,12 +1068,15 @@ class Crawler:
                     F.col("round_successes"),
                 ),
             )
-        hs_new = apply_circuit_breaker(hs_new.drop("attempted"), now_lit)
+        hs_touched = apply_circuit_breaker(hs_touched.drop("attempted"), now_lit)
+        hs_touched = hs_touched.withColumn("asof_round", F.lit(k).cast("int"))
         # new domains discovered this round join host_state lazily
         new_domains = new_rows.select("registrable_domain").distinct().join(
             host_state.select("registrable_domain"), "registrable_domain", "left_anti"
         )
-        hs_new = hs_new.unionByName(self._new_host_rows(new_domains))
+        hs_delta = hs_touched.select(*self.HOST_COLS).unionByName(
+            self._new_host_rows(new_domains, asof_round=k)
+        )
 
         # ------------------------------------------------- commits (S7/T6)
         tick("plan_updates")
@@ -943,9 +1086,9 @@ class Crawler:
         fut_frontier = pool.submit(
             self.t["frontier"].append, new_rows, {"round": k}, "bucket"
         )
-        # host_state overwrite is independent of every other commit — run it
-        # in the pool too so the commit barrier is max(), not sum()
-        fut_host = pool.submit(self.t["host_state"].overwrite, hs_new, {"round": k})
+        # host_state delta append is independent of every other commit — run
+        # it in the pool too so the commit barrier is max(), not sum()
+        fut_host = pool.submit(self.t["host_state"].append, hs_delta, {"round": k})
         host_snap = fut_host.result()
         frontier_snap = fut_frontier.result()
         transitions_snap = fut_trans.result()
@@ -967,11 +1110,20 @@ class Crawler:
                 ent[0] += int(r["n"])
             else:
                 ent[1] += int(r["n"])
+        # per-partition rows carry per-partition fetch/failure counts only;
+        # the GLOBAL dedup count (n_raw_links − n_new) is recorded exactly
+        # once on its own stage row — summing urls_deduped over a round now
+        # gives the true number instead of overcounting by the partition
+        # count (round-3 verdict #4)
         metrics_snap = self.t["metrics"].append_local(
-            [
-                (k, "fetch", pid, ent[0], int(n_raw_links) - n_new, ent[1], wall_ms, frontier_snap)
-                for pid, ent in sorted(by_pid.items())
-            ] or [(k, "fetch", -1, 0, 0, 0, wall_ms, frontier_snap)],
+            (
+                [
+                    (k, "fetch", pid, ent[0], 0, ent[1], wall_ms, frontier_snap)
+                    for pid, ent in sorted(by_pid.items())
+                ]
+                or [(k, "fetch", -1, 0, 0, 0, wall_ms, frontier_snap)]
+            )
+            + [(k, "dedup", -1, 0, int(n_raw_links) - n_new, 0, wall_ms, frontier_snap)],
             METRICS_SCHEMA,
             {"round": k},
         )
@@ -989,6 +1141,7 @@ class Crawler:
         for df in cached:
             df.unpersist(blocking=False)
         self._known_count += n_new
+        self._prev_round_empty = False
         out = {
             "round": k, "eligible": n_batch, "fetched": n_ok,
             "transient": n_transient, "missing": n_missing,
@@ -1026,7 +1179,7 @@ class Crawler:
         else:
             start = self.resume_round()
         cap = max_rounds if max_rounds is not None else self.cfg.max_rounds
-        stats, empty = [], 0
+        stats, empty, since_compact = [], 0, 0
         for k in range(start, cap):
             s = self.run_round(k)
             stats.append(s)
@@ -1037,6 +1190,21 @@ class Crawler:
             empty = empty + 1 if s["eligible"] == 0 else 0
             if empty >= self.cfg.empty_rounds_stop:
                 break
+            # Periodic compaction (round-3 verdict #2): every round replays
+            # the transitions delta through a latest-wins window, so on long
+            # crawls the delta must be folded back into the bucketed
+            # frontier every compact_every_rounds ACTIVE rounds to keep
+            # per-round cost O(recent rounds), not O(crawl lifetime).
+            # Resume-safe: the rounds row written before the compact records
+            # pre-compact snapshots, and rollback to them restores exactly
+            # that state (delta + base ≡ folded base by construction).
+            since_compact = since_compact + 1 if s["eligible"] > 0 else since_compact
+            if (
+                self.cfg.compact_every_rounds
+                and since_compact >= self.cfg.compact_every_rounds
+            ):
+                self.compact()
+                since_compact = 0
         # fold the transitions delta into the frontier so readers see final
         # states without replaying the delta (resume-safe: rollback restores)
         self.compact()

@@ -91,6 +91,11 @@ def _probe_delta_view(
         if entry is None:
             continue
         tag, data = entry
+        if tag == "p" and len(data) == 0:
+            # zero-bit delta bucket: nothing can be a member (guards the
+            # sparse probe below, whose len(data)-1 would index an empty
+            # array); res[sel] stays False
+            continue
         sel = buckets == b
         sub = keys[sel].astype(np.uint64)
         hit = np.ones(sub.shape, dtype=bool)

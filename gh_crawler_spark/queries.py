@@ -1495,14 +1495,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "l3_truncation": (q_l3_truncation, SQL_L3),
     "u1_union_dedup": (q_u1_union_dedup, SQL_U1),
     # --- extraction --------------------------------------------------------
-    "x2_extract_int": (q_x2_extract_int, SQL_X2),
     "x4_entity_id": (q_x4_entity_id, SQL_X4),
     "x5_canonicalize": (q_x5_canonicalize, SQL_X5),
     "x7_registrable_domain": (q_x7_registrable_domain, SQL_X7),
     "x9_sha_extract": (q_x9_sha_extract, SQL_X9),
     "x10b_embedded_timeline": (q_x10b_embedded_timeline, SQL_X10B),
     "x11_content_cleaning": (q_x11_content_cleaning, SQL_X11),
-    "x12_split_cleanup": (q_x12_split_cleanup, SQL_X12),
     "x14_state_classify": (q_x14_state_classify, SQL_X14),
     # --- temporal/politeness + flagship pipeline ---------------------------
     "t2_backoff_schedule": (q_t2_backoff_schedule, SQL_T2),
@@ -1517,8 +1515,17 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "td_ann_cosine": (q_td_ann_cosine, SQL_TD_ANN),
     "td_media_meta": (q_td_media_meta, SQL_TD_MEDIA),
     "td_frame_sample": (q_td_frame_sample, SQL_TD_FRAMES),
+    # sketch-family flagships inside the driver's 50-entry recording cap
+    # (rows-only: no SQL oracle exists for MinHash/IVF — each is
+    # pytest-asserted: LSH candidate ⊇ true pairs + recall ≥ 0.9,
+    # IVF recall + exact-at-full-probe; see tests/test_dedup_text.py,
+    # tests/test_similarity.py)
+    "td_minhash_lsh": (q_td_minhash_lsh, None),
+    "td_ivf_ann": (q_td_ivf_ann, None),
     # ===== entries below are PAST the driver's 50-entry recording cap ======
     # (siblings/variants of the flagships above; oracled via check_oracles)
+    "x2_extract_int": (q_x2_extract_int, SQL_X2),
+    "x12_split_cleanup": (q_x12_split_cleanup, SQL_X12),
     "j4_hash_equi_join": (q_j4_hash_equi_join, SQL_J4),
     "x3_k_suffix": (q_x3_k_suffix, SQL_X3),
     "x13_timestamp_roundtrip": (q_x13_timestamp_roundtrip, SQL_X13),
@@ -1530,8 +1537,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "x15_duration_format": (q_x15_duration_format, SQL_X15),
     "x16_url_hash": (q_x16_url_hash, None),
     "td_ngram_jaccard": (q_td_ngram_jaccard, SQL_TD_JACCARD),
-    "td_minhash_lsh": (q_td_minhash_lsh, None),
     "td_simhash": (q_td_simhash, None),
     "td_lsh_ann": (q_td_lsh_ann, None),
-    "td_ivf_ann": (q_td_ivf_ann, None),
 }

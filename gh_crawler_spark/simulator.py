@@ -58,6 +58,13 @@ class _Host:
     robots: str = ""
     blocked_until: dt.datetime | None = None
     failure_count: int = 0
+    # Last round whose fold wrote this host (engine mirror: host_state
+    # asof_round). Tokens are as-of this round; refill is computed LAZILY
+    # over the gap with the SAME association order as the engine's column
+    # expression — tokens + rate * ((k - asof) * Δ) — so engine and spec
+    # agree bit-for-bit even where iterated vs single-shot capped refill
+    # would differ in float ulps.
+    asof_round: int = -1
     _parser: robotparser.RobotFileParser | None = field(default=None, repr=False)
 
     def allowed(self, url: str) -> bool:
@@ -91,16 +98,24 @@ class SimCrawler:
         self.seen: set[int] = set()
         self.fetch_log: list[tuple[int, int]] = []  # (round, url_hash)
 
-    def _host(self, domain: str) -> _Host:
+    def _host(self, domain: str, asof: int = -1) -> _Host:
         h = self.hosts.get(domain)
         if h is None:
             rules, delay = self.robots.get(domain, ("", 100))
             rate = 1000.0 / (delay or 100)
             cap = rate * self.cfg.token_capacity_s
             h = self.hosts[domain] = _Host(
-                tokens=cap, rate=rate, capacity=cap, base_rate=rate, robots=rules
+                tokens=cap, rate=rate, capacity=cap, base_rate=rate, robots=rules,
+                asof_round=asof,
             )
         return h
+
+    def _lazy_avail(self, h: _Host, k: int) -> float:
+        """Capped refill over the whole gap since the host was last written —
+        the engine's lazy_elapsed column expression, same association order."""
+        return min(
+            h.capacity, h.tokens + h.rate * ((k - h.asof_round) * self.cfg.round_duration_s)
+        )
 
     def _add(self, url: str, priority: float, nft: dt.datetime, round_no: int) -> bool:
         uh = xxhash64_py(url)
@@ -108,7 +123,10 @@ class SimCrawler:
             return False
         dom = registrable_domain_py(_host_of(url))
         self.frontier[uh] = _Entry(url, uh, dom, priority, nft)
-        self._host(dom)
+        # a domain first seen at discovery time enters host state stamped
+        # with the discovering round (engine: _new_host_rows(asof_round=k));
+        # seeds (round_no=0) get the init stamp -1
+        self._host(dom, asof=round_no - 1)
         return True
 
     def now(self, k: int) -> dt.datetime:
@@ -159,7 +177,7 @@ class SimCrawler:
         budgets: dict[str, float] = {}
         for dom, entries in by_host.items():
             h = self._host(dom)
-            avail = min(h.capacity, h.tokens + h.rate * cfg.round_duration_s)
+            avail = self._lazy_avail(h, k)
             budget = int(avail)
             if dom in self.budget_overrides:  # W2: override CAPS the budget
                 budget = min(budget, int(self.budget_overrides[dom]))
@@ -227,15 +245,21 @@ class SimCrawler:
             if self._add(link, p, nxt, k + 1):
                 n_new += 1
 
-        # 7. host-state fold: spend tokens, circuit breaker
+        # 7. host-state fold: spend tokens, circuit breaker — TOUCHED hosts
+        # only (engine mirror: a round appends host rows only for scheduled
+        # domains; untouched hosts change in no way beyond the lazy capped
+        # refill, which accrues via asof_round at next read — adapt and
+        # breaker are identity on zero outcomes and failure_count stays
+        # below threshold between rounds by the trip-reset invariant)
         attempted: dict[str, int] = {}
         for e in batch:
             attempted[e.domain] = attempted.get(e.domain, 0) + 1
-        for dom, h in self.hosts.items():
-            avail = budgets.get(dom, min(h.capacity, h.tokens + h.rate * cfg.round_duration_s))
-            h.tokens = max(0.0, avail - attempted.get(dom, 0))
+        for dom, a in attempted.items():
+            h = self.hosts[dom]
+            avail = budgets[dom]
+            h.tokens = max(0.0, avail - a)
+            h.asof_round = k
             if cfg.adaptive_rate:
-                a = attempted.get(dom, 0)
                 f = fails_per_host.get(dom, 0)
                 o = ok_per_host.get(dom, 0)
                 if a > 0 and f / a >= ADAPT_SHRINK_RATIO:

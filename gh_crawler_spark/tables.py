@@ -370,6 +370,40 @@ class SnapshotTable:
             os.remove(self._manifest_path(s.snapshot_id))
         return deleted
 
+    def compact_small_files(
+        self,
+        spark: SparkSession,
+        partition_by: str,
+        max_files_per_partition: int = 4,
+    ) -> list:
+        """Iceberg ``rewrite_data_files`` (bin-pack) analog: rewrite ONLY the
+        partitions whose live file count exceeds the threshold, coalescing
+        each to one file per partition. Append-heavy bucketed tables (the
+        seen table gains one file per bucket per crawl round) otherwise
+        accumulate small files forever, and every partition-pruned backstop
+        read pays the per-file open cost. Cost is O(rows in hot partitions),
+        never a full-table rewrite. Returns the partition values rewritten.
+        """
+        snap = self.snapshot()
+        if snap is None:
+            return []
+        counts: dict[str, int] = {}
+        for f in snap.files:
+            if f["partition"] and partition_by in f["partition"]:
+                v = f["partition"][partition_by]
+                counts[v] = counts.get(v, 0) + 1
+        hot = sorted(v for v, n in counts.items() if n > max_files_per_partition)
+        if not hot:
+            return []
+        # read_partitions conservatively includes files without partition
+        # info; bucketed engine tables never hold any (overwrite_partitions
+        # raises on them), so this is exactly the hot partitions' rows
+        df = self.read_partitions(spark, partition_by, hot)
+        self.overwrite_partitions(
+            df, partition_by, {"op": "compact_files", "partitions": hot}
+        )
+        return hot
+
     # -- reads --------------------------------------------------------------
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:

@@ -393,3 +393,141 @@ def test_lineage_recorded(spark, corpus, tmp_path):
     assert stats["fetched"] == sum(r["fetched"] for r in rounds)
     assert stats["last_round"] == 2
     assert 0.0 <= stats["success_rate"] <= 1.0
+
+
+def test_host_state_delta_appends_touched_only(spark, corpus, tmp_path):
+    """host_state is append-only deltas (round-4): a round writes rows ONLY
+    for domains it scheduled plus newly-discovered domains — never a full
+    rewrite — and the latest-wins view resolves to one row per domain."""
+    pages, seeds, robots = corpus
+    c = Crawler(spark, _cfg(tmp_path / "hsd"), pages, robots)
+    c.init_frontier(seeds)
+    n_init = c.t["host_state"].read(spark).count()
+    s0 = c.run_round(0)
+    raw = c.t["host_state"].read(spark)
+    appended_r0 = raw.count() - n_init
+    # the round COMMITTED AN APPEND (delta), not a table rewrite
+    assert c.t["host_state"].snapshot().operation == "append"
+    latest = c._read_host_state()
+    n_domains_now = latest.count()
+    assert appended_r0 <= n_domains_now
+    assert latest.groupBy("registrable_domain").count().filter(
+        F.col("count") > 1
+    ).count() == 0  # latest-wins resolves uniquely
+    # init rows are asof=-1; every appended row carries its round
+    assert raw.filter(F.col("asof_round") == -1).count() == n_init
+    assert raw.filter(F.col("asof_round") == 0).count() == appended_r0
+    # run a second round: appends accumulate, the view stays one-per-domain
+    c.run_round(1)
+    raw2 = c.t["host_state"].read(spark)
+    assert raw2.count() > raw.count()
+    latest2 = c._read_host_state()
+    assert latest2.count() == latest2.select("registrable_domain").distinct().count()
+    # compaction folds the delta back to one row per domain
+    c.compact()
+    folded = c.t["host_state"].read(spark)
+    assert folded.count() == folded.select("registrable_domain").distinct().count()
+
+
+def test_periodic_compaction_same_outcome_and_bounded_delta(spark, corpus, baseline, tmp_path):
+    """compact_every_rounds folds the transitions delta mid-crawl without
+    changing the outcome, and keeps the delta O(compaction window) instead
+    of O(crawl lifetime) on a steady re-crawl workload."""
+    pages, seeds, robots = corpus
+    # outcome equivalence: aggressive cadence (every round) == baseline
+    cfg = _cfg(tmp_path / "pc")
+    cfg.compact_every_rounds = 1
+    c = Crawler(spark, cfg, pages, robots)
+    c.run(seeds=seeds)
+    assert _crawl_outcome(spark, c) == baseline
+
+    # bounded delta: staleness keeps URLs re-entering forever; without
+    # periodic folds the transitions table would grow by ~eligible rows
+    # EVERY round for the whole crawl
+    cfg2 = _cfg(tmp_path / "pc2")
+    cfg2.staleness_s = cfg2.round_duration_s  # refetch each round
+    cfg2.transient_fail_mod = 0
+    cfg2.compact_every_rounds = 3
+    c2 = Crawler(spark, cfg2, pages, robots)
+    c2.init_frontier(seeds)
+    eligs, delta_sizes = [], []
+    since = 0
+    for k in range(12):
+        s = c2.run_round(k)
+        eligs.append(s["eligible"])
+        delta_sizes.append(c2.t["transitions"].read(spark).count())
+        since += 1
+        if since >= cfg2.compact_every_rounds:
+            c2.compact()
+            since = 0
+    # every round re-fetches (steady workload actually exercised the delta)
+    assert sum(eligs[-3:]) > 0
+    # the delta never exceeds one compaction window of changes (each
+    # scheduled URL writes ≤1 transition per round)
+    max_window = max(
+        sum(eligs[i : i + cfg2.compact_every_rounds]) for i in range(len(eligs))
+    )
+    assert max(delta_sizes) <= max_window
+    # and total transitions written across 12 rounds was much larger than
+    # what the delta ever held (the fold is actually doing work)
+    assert sum(eligs) > max(delta_sizes)
+
+
+def test_metrics_dedup_recorded_once(spark, corpus, tmp_path):
+    """The global dedup count appears exactly once per round (its own stage
+    row): summing urls_deduped over a round equals links - new exactly
+    (round-3 verdict #4: per-partition rows each carried the global count)."""
+    pages, seeds, robots = corpus
+    c = Crawler(spark, _cfg(tmp_path / "mx"), pages, robots)
+    c.init_frontier(seeds)
+    for k in range(2):
+        s = c.run_round(k)
+        got = (
+            c.t["metrics"].read(spark)
+            .filter(F.col("round") == k)
+            .agg(F.sum("urls_deduped").alias("d"))
+            .collect()[0]["d"]
+        )
+        assert got == s["links"] - s["new"]
+
+
+def test_no_broadcast_dims_equivalent(spark, corpus, baseline, tmp_path):
+    """broadcast_dims=False (the 10^7+-domain shape): host_state and robots
+    join as plain equi-joins with AQE choosing the strategy at runtime —
+    identical crawl outcome, nothing force-broadcast."""
+    import dataclasses
+
+    pages, seeds, robots = corpus
+    cfg = dataclasses.replace(_cfg(tmp_path / "nbd"), broadcast_dims=False)
+    c = Crawler(spark, cfg, pages, robots)
+    c.run(seeds=seeds)
+    assert _crawl_outcome(spark, c) == baseline
+
+
+def test_seen_files_binpacked_at_compact(spark, corpus, tmp_path):
+    """Long-crawl file hygiene: seen gains one file per bucket per round;
+    compact() bin-packs hot buckets so the dedup backstop's pruned reads
+    stay O(few files) per suspect bucket."""
+    pages, seeds, robots = corpus
+    cfg = _cfg(tmp_path / "binp")
+    cfg.staleness_s = cfg.round_duration_s  # re-fetch keeps appending to seen
+    cfg.transient_fail_mod = 0
+    c = Crawler(spark, cfg, pages, robots)
+    c.init_frontier(seeds)
+    for k in range(6):
+        c.run_round(k)
+    per_bucket_before = {}
+    for f in c.t["seen"].snapshot().files:
+        if f["partition"]:
+            b = f["partition"]["bucket"]
+            per_bucket_before[b] = per_bucket_before.get(b, 0) + 1
+    assert max(per_bucket_before.values()) > 4  # appends actually piled up
+    n_seen_before = c.t["seen"].read(spark).count()
+    c.compact()
+    per_bucket = {}
+    for f in c.t["seen"].snapshot().files:
+        if f["partition"]:
+            b = f["partition"]["bucket"]
+            per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert max(per_bucket.values()) <= 4
+    assert c.t["seen"].read(spark).count() == n_seen_before  # lossless

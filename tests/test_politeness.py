@@ -94,3 +94,31 @@ def test_circuit_breaker_below_threshold(spark):
     out = apply_circuit_breaker(_hs(spark, 0, 4, 0), F.lit(NOW)).collect()[0]
     assert out["failure_count"] == 4
     assert out["blocked_until"] is None
+
+
+def test_lazy_refill_equals_iterated_refill():
+    """The host_state delta design's load-bearing identity: one capped
+    refill over the total elapsed time equals per-round iterated capped
+    refills — min(cap, t + r·Δ) composed k times = min(cap, t + k·r·Δ).
+    (Once t + i·r·Δ reaches cap the iterate pins at cap, and the single-shot
+    form is ≥ cap from then on too.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.floats(0.0, 50.0),     # starting tokens
+        st.floats(0.001, 5.0),    # refill rate /s
+        st.floats(0.1, 120.0),    # round duration
+        st.integers(1, 40),       # rounds elapsed
+        st.floats(1.0, 60.0),     # capacity
+    )
+    def check(tokens, rate, dur, k, cap):
+        tokens = min(tokens, cap)  # invariant: stored tokens never exceed cap
+        iterated = tokens
+        for _ in range(k):
+            iterated = min(cap, iterated + rate * dur)
+        single = min(cap, tokens + rate * k * dur)
+        assert abs(iterated - single) < 1e-6 * max(1.0, cap)
+
+    check()

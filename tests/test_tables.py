@@ -131,3 +131,32 @@ def test_empty_read_keeps_schema(spark, tmp_path):
     df = t.read(spark)
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["k", "v"]
+
+
+def test_compact_small_files_binpacks_hot_partitions(spark, tmp_path):
+    """rewrite_data_files analog: only partitions over the file threshold
+    are rewritten (to one file each); cold partitions keep their files and
+    no row is lost or duplicated."""
+    t = SnapshotTable(str(tmp_path), "seenish")
+    # bucket 0: 6 small appends; bucket 1: 2 appends (stays under threshold)
+    for i in range(6):
+        rows = [(100 + i, 0)] + ([(200 + i, 1)] if i < 2 else [])
+        t.append(
+            spark.createDataFrame(rows, "url_hash BIGINT, bucket INT"),
+            partition_by="bucket",
+        )
+    before = t.snapshot().files
+    n_files = lambda files, b: sum(
+        1 for f in files if f["partition"] and f["partition"]["bucket"] == str(b)
+    )
+    assert n_files(before, 0) == 6 and n_files(before, 1) == 2
+    rewritten = t.compact_small_files(spark, "bucket", max_files_per_partition=4)
+    assert rewritten == ["0"]
+    after = t.snapshot().files
+    assert n_files(after, 0) == 1          # bin-packed
+    assert n_files(after, 1) == 2          # untouched (cold)
+    got = {(r["url_hash"], r["bucket"]) for r in t.read(spark).collect()}
+    want = {(100 + i, 0) for i in range(6)} | {(200 + i, 1) for i in range(2)}
+    assert got == want
+    # idempotent: nothing left over the threshold
+    assert t.compact_small_files(spark, "bucket", max_files_per_partition=4) == []
