@@ -531,3 +531,24 @@ def test_seen_files_binpacked_at_compact(spark, corpus, tmp_path):
             per_bucket[b] = per_bucket.get(b, 0) + 1
     assert max(per_bucket.values()) <= 4
     assert c.t["seen"].read(spark).count() == n_seen_before  # lossless
+
+
+def test_snapshot_expiry_bounds_manifests_and_resume_survives(spark, corpus, baseline, tmp_path):
+    """expire_snapshots_keep (opt-in): periodic compaction also expires old
+    manifests + orphaned data files, bounding metadata growth on long
+    crawls, while the resume contract (rollback to the last completed
+    round's snapshots) keeps working."""
+    pages, seeds, robots = corpus
+    cfg = _cfg(tmp_path / "exp")
+    cfg.compact_every_rounds = 2
+    cfg.expire_snapshots_keep = 8
+    c = Crawler(spark, cfg, pages, robots)
+    c.run(seeds=seeds)
+    assert _crawl_outcome(spark, c) == baseline
+    for t in c.t.values():
+        # bounded by keep + commits since the last expiry, never O(rounds)
+        assert len(t.snapshots()) <= 16
+    # resume on the finished (expired) root: rollback targets survive
+    resumed = Crawler(spark, cfg, pages, robots)
+    resumed.run(seeds=None)
+    assert _crawl_outcome(spark, resumed) == baseline
