@@ -164,7 +164,9 @@ def run_foreach_batch_crawl(spark, pages_stream: DataFrame, crawler, checkpoint_
         seeds = batch_df.select(
             F.col("url"), F.lit(crawler.cfg.default_priority).alias("priority")
         )
-        if crawler.t["rounds"].read(spark).count() == 0:
+        rounds_t = crawler.t["rounds"]
+        # fresh root: the rounds table has no snapshot yet (read() raises)
+        if not rounds_t.exists() or rounds_t.read(spark).count() == 0:
             crawler.init_frontier(seeds)
         crawler.run_round(int(batch_id))
 

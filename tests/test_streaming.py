@@ -158,3 +158,25 @@ def test_throughput_metrics_stream(spark, drop_dir, tmp_path):
     # window (still inside the watermark horizon at stream end) is withheld
     assert 100 <= out["total"] <= 120
     q.stop()
+
+
+def test_foreach_batch_crawl_rounds_follow_microbatches(spark, drop_dir, tmp_path):
+    """Micro-batch wrapper: an arriving batch of pages seeds the frontier
+    and executes exactly one crawl round per micro-batch, with all state in
+    the snapshot tables (not Spark's state store)."""
+    from gh_crawler_spark.crawler import Crawler, CrawlConfig
+    from gh_crawler_spark.sources.pages import generate_pages
+    from gh_crawler_spark.streaming.stream import run_foreach_batch_crawl
+
+    pages = generate_pages(spark, 120, seed=5, n_domains=20)
+    cfg = CrawlConfig(root=str(tmp_path / "fb"), n_buckets=4, max_rounds=5)
+    c = Crawler(spark, cfg, pages)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(drop_dir)
+    q = run_foreach_batch_crawl(spark, stream, c, str(tmp_path / "ck_fb")).start()
+    q.awaitTermination(180)
+    rounds = c.t["rounds"].read(spark).orderBy("round").collect()
+    assert len(rounds) == 1 and rounds[0]["round"] == 0  # 1 batch -> 1 round
+    assert rounds[0]["completed"]
+    # the batch's pages were seeded and fetched (subject to politeness)
+    assert c.t["results"].read(spark).count() > 0
+    q.stop()
