@@ -551,14 +551,27 @@ class Crawler:
         (if ``t + r ≥ cap`` the iterate pins at cap, and ``t + k·r ≥ cap``
         for every later k), and untouched hosts change in NO other way per
         round (adapt/breaker are identity on zero outcomes; e2e asserts
-        engine == simulator outcomes), so skipping their rewrite is exact."""
-        hs = self.t["host_state"].read(self.spark)
+        engine == simulator outcomes), so skipping their rewrite is exact.
+
+        Plan shape at scale: the BASE (one row per domain, written by the
+        last init/compact overwrite) is never windowed or shuffled — only
+        the appended delta (O(touched domains since last compact)) goes
+        through the latest-wins window, and the base is anti-joined against
+        the delta's (small, broadcastable) domain set. At 10^8 domains the
+        old whole-table window was a ~20 GB shuffle per round; this is
+        O(delta)."""
+        base, delta = self.t["host_state"].split_base_delta(self.spark)
+        if delta is None:
+            return base
         w = Window.partitionBy("registrable_domain").orderBy(F.col("asof_round").desc())
-        return (
-            hs.withColumn("__rn", F.row_number().over(w))
+        delta_latest = (
+            delta.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        return base.join(
+            delta_latest.select("registrable_domain"), "registrable_domain", "left_anti"
+        ).unionByName(delta_latest)
 
     # ---------------------------------------------------------------- resume
     def resume_round(self) -> int:

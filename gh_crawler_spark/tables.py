@@ -448,5 +448,47 @@ class SnapshotTable:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
 
+    def split_base_delta(
+        self, spark: SparkSession
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """``(base_df, delta_df)``: rows as of the most recent
+        overwrite-type snapshot on the current lineage vs rows appended
+        since. Lets a latest-wins reader window ONLY the (small) delta and
+        anti-join the base instead of shuffling the whole table — the
+        Iceberg changelog-read shape. ``delta_df`` is None when nothing was
+        appended since the last overwrite. If the lineage walk hits an
+        expired manifest, everything degrades to ``(empty, full)`` — the
+        caller's window over the full set is always correct, just not
+        pruned."""
+        cur = self.snapshot()
+        if cur is None:
+            raise ValueError(f"table {self.name} has no snapshot yet")
+        schema = T.StructType.fromJson(json.loads(cur.schema_json))
+        snap = cur
+        try:
+            while snap is not None and snap.operation not in (
+                "overwrite", "overwrite_partitions",
+            ):
+                snap = (
+                    self.snapshot(snap.parent_id)
+                    if snap.parent_id is not None
+                    else None
+                )
+        except FileNotFoundError:
+            snap = None  # expired history: no provable base
+        base_paths = {f["path"] for f in snap.files} if snap is not None else set()
+        cur_paths = [f["path"] for f in cur.files]
+        base_kept = [p for p in cur_paths if p in base_paths]
+        delta_paths = [p for p in cur_paths if p not in base_paths]
+        base_df = (
+            spark.read.schema(schema).parquet(*base_kept)
+            if base_kept
+            else spark.createDataFrame([], schema)
+        )
+        delta_df = (
+            spark.read.schema(schema).parquet(*delta_paths) if delta_paths else None
+        )
+        return base_df, delta_df
+
     def exists(self) -> bool:
         return self.current_snapshot_id() is not None

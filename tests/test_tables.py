@@ -160,3 +160,22 @@ def test_compact_small_files_binpacks_hot_partitions(spark, tmp_path):
     assert got == want
     # idempotent: nothing left over the threshold
     assert t.compact_small_files(spark, "bucket", max_files_per_partition=4) == []
+
+
+def test_split_base_delta(spark, tmp_path):
+    """Changelog-read shape: base = files as of the last overwrite-type
+    snapshot, delta = appends since; appends-only readers can window just
+    the delta."""
+    t = SnapshotTable(str(tmp_path), "hostish")
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, v STRING"))
+    base, delta = t.split_base_delta(spark)
+    assert delta is None and base.count() == 2
+    t.append(spark.createDataFrame([(3, "c")], "id BIGINT, v STRING"))
+    t.append(spark.createDataFrame([(1, "a2")], "id BIGINT, v STRING"))
+    base, delta = t.split_base_delta(spark)
+    assert base.count() == 2 and delta.count() == 2
+    assert {r["v"] for r in delta.collect()} == {"c", "a2"}
+    # a new overwrite resets the base
+    t.overwrite(spark.createDataFrame([(9, "z")], "id BIGINT, v STRING"))
+    base, delta = t.split_base_delta(spark)
+    assert delta is None and {r["v"] for r in base.collect()} == {"z"}
