@@ -682,7 +682,11 @@ class Crawler:
         # them via the {b, b+n_buckets} partition pair.
         frontier = self._read_active_frontier()
         trans = self.t["transitions"].read(spark)
-        host_state = self._read_host_state()
+        # one computation of the base/delta latest-wins view per round: the
+        # eligibility join, the touched-host fold, and the new-domain
+        # anti-join all reuse the persisted result instead of re-running
+        # the split-read plan three times
+        host_state = materialize(self._read_host_state())
 
         # 1-2. eligibility + politeness gates (latest-wins over the delta) --
         # T5: expired failures re-enter (their next_fetch_ts was stamped
