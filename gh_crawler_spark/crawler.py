@@ -154,6 +154,28 @@ class CrawlConfig:
     # rollback targets always survive; 32 is conservative for the default
     # compact_every_rounds=8.
     expire_snapshots_keep: int = 0
+    # Broadcast the transitions-latest view into the per-round eligibility
+    # join while the delta stays under this many rows (tracked driver-side:
+    # exactly n_batch rows append per round, reset by compact()). The delta
+    # is orders of magnitude smaller than the frontier between compactions,
+    # so the explicit hint spares the frontier side its shuffle WRITE —
+    # AQE's late SMJ->BHJ conversion only skips the exchange read. Past the
+    # bound (or 0) the join falls back to AQE's runtime choice, which is
+    # the right behavior when a 10^10-row crawl lets the delta grow huge.
+    broadcast_transitions_max_rows: int = 2_000_000
+    # Two-phase small rounds (broadcast_fetch mode): when the driver-side
+    # active-row bound (seeds − rows gone terminal + rows discovered; a
+    # TRUE upper bound on anything still schedulable, see run_round tail)
+    # is at or under this, the round first collects the scheduled batch's
+    # bucket histogram — one tiny job over the about-to-be-persisted batch.
+    # Empty rounds then exit before the fetch/probe DAG is even built, and
+    # tiny rounds prune the cached fetch index to the batch's buckets (the
+    # index is range-clustered by __pbucket, so in-memory batch min/max
+    # stats skip everything else without decompressing html). A real fetch
+    # costs O(batch); with this the simulated one does too. Correctness
+    # never depends on the bound: pruning always uses the batch's OWN
+    # buckets. 0 disables (single combined action, no pre-probe).
+    small_round_threshold: int = 5000
 
     def __post_init__(self) -> None:
         # F3 regex subset validation (see the comment above link_shape):
@@ -310,7 +332,30 @@ class Crawler:
             self.pages_idx = self.pages_idx.repartition(
                 self._pages_parts, "url_hash"
             )
+        else:
+            # Range-cluster the cached index by hash bucket so a small-round
+            # fetch can prune it: each cached partition covers a contiguous
+            # bucket span, and in-memory batch stats (min/max per column
+            # batch) let `__pbucket IN (batch's buckets)` skip every other
+            # partition without decompressing its html column. Tail rounds
+            # of a converging crawl fetch a handful of URLs — scanning the
+            # full corpus for them is the one place the simulation was LESS
+            # scalable than a real fetch (O(corpus) vs O(batch) per round).
+            self._pages_parts = spark.sparkContext.defaultParallelism * 2
+            self.pages_idx = self.pages_idx.withColumn(
+                "__pbucket", bucket_expr(F.col("url_hash"), cfg.n_buckets)
+            ).repartitionByRange(self._pages_parts, "__pbucket", "url_hash")
         self.pages_idx = self.pages_idx.persist()
+        # Driver-tracked transitions-delta cardinality (exactly n_batch rows
+        # append per round; compact() truncates) — gates the broadcast hint
+        # in _effective_frontier without a count() job.
+        self._trans_rows = 0
+        # Driver-tracked upper bound on rows that can still be scheduled
+        # (the _active_state_pred set): seeds in, terminal transitions out
+        # (only the ones terminal under the CURRENT T5/T10 config — TTL'd
+        # failures / stale fetches stay counted), discoveries in. Gates the
+        # small-round two-phase path. None = unknown (resume) -> disabled.
+        self._next_round_bound: int | None = None
         self.robots = robots
         # Driver-side frontier-cardinality counter (sizes the Bloom build
         # without a count() job per round); set by init_frontier/resume.
@@ -398,13 +443,24 @@ class Crawler:
         self._known_count = self._bloom.add_df(
             self.t["frontier"].read(self.spark).select("url_hash")
         )
+        # every seed starts 'discovered': the active-row bound that gates
+        # the small-round fast path starts at the (deduped) seed count
+        self._next_round_bound = self._known_count
+        self._trans_rows = 0
         self.t["transitions"].append_local([], TRANSITIONS_SCHEMA, {"op": "init"}, overwrite=True)
         self.t["metrics"].append_local([], METRICS_SCHEMA, {"op": "init"}, overwrite=True)
         self.t["rounds"].append_local([], ROUNDS_SCHEMA, {"op": "init"}, overwrite=True)
 
     def _effective_frontier(self, frontier: DataFrame, trans: DataFrame) -> DataFrame:
         """Frontier rows with the latest transition applied (latest-wins by
-        round; a URL transitions at most once per round, so this is total)."""
+        round; a URL transitions at most once per round, so this is total).
+
+        While the delta is small (driver-tracked row count vs
+        broadcast_transitions_max_rows) the latest view is broadcast: the
+        frontier side then never shuffles — without the hint the planner
+        SMJs and even AQE's late BHJ conversion has already paid the
+        frontier's shuffle WRITE (O(frontier) rows × full width, every
+        round). Past the bound AQE decides from real sizes."""
         w = Window.partitionBy("url_hash").orderBy(F.col("round").desc())
         latest = (
             trans.withColumn("__rn", F.row_number().over(w))
@@ -416,6 +472,11 @@ class Crawler:
                 F.col("attempt").alias("__t_attempt"),
             )
         )
+        if (
+            self.cfg.broadcast_transitions_max_rows > 0
+            and self._trans_rows <= self.cfg.broadcast_transitions_max_rows
+        ):
+            latest = F.broadcast(latest)
         return (
             frontier.join(latest, "url_hash", "left")
             .withColumn("state", F.coalesce(F.col("__t_state"), F.col("state")))
@@ -474,6 +535,7 @@ class Crawler:
         )
         self.t["transitions"].append_local([], TRANSITIONS_SCHEMA, {"op": "compact"},
                                            overwrite=True)
+        self._trans_rows = 0  # delta truncated -> broadcast hint re-armed
         # fold the host_state delta the same way: one row per domain again
         # (asof_round kept — lazy refill keeps reading from it)
         self.t["host_state"].overwrite(
@@ -579,6 +641,11 @@ class Crawler:
         recorded snapshots (exactly-once semantics, SURVEY.md T6)."""
         rounds = self.t["rounds"].read(self.spark)
         self._prev_round_empty = False
+        # conservative after resume: the active-row bound is unknown (it
+        # would need a filtered count), so the small-round fast path stays
+        # off until the next init_frontier; the transitions-delta row count
+        # (broadcast-hint gate) is re-established with one count job.
+        self._next_round_bound = None
         last = (
             rounds.filter(F.col("completed"))
             .orderBy(F.col("round").desc())
@@ -590,6 +657,7 @@ class Crawler:
             self._bloom = None
         if not last:
             self._known_count = self.t["frontier"].read(self.spark).count()
+            self._trans_rows = self.t["transitions"].read(self.spark).count()
             self._bloom = PartitionedBloom.build(
                 self.t["frontier"].read(self.spark), "url_hash",
                 n_buckets=self.cfg.n_buckets,
@@ -607,6 +675,7 @@ class Crawler:
             if self.t[name].current_snapshot_id() != row[col]:
                 self.t[name].rollback(row[col])
         self._known_count = self.t["frontier"].read(self.spark).count()
+        self._trans_rows = self.t["transitions"].read(self.spark).count()
         # one distributed rebuild on resume; incremental add_np thereafter
         known = self.t["frontier"].read(self.spark).select("url_hash").unionByName(
             self.t["seen"].read(self.spark).select("url_hash")
@@ -648,6 +717,24 @@ class Crawler:
             "round": k, "eligible": 0, "fetched": 0, "transient": 0,
             "missing": 0, "links": 0, "new": 0, "wall_ms": wall_ms,
         }
+
+    def _finish_no_batch(self, k: int, t_start: float, cached: list,
+                         current: DataFrame) -> dict:
+        """Nothing scheduled this round: release the round's persisted
+        working set, probe whether ANY row can ever become eligible again
+        (A10 drained fast path — the caller stops immediately and skips the
+        bookkeeping commit), else record an empty round."""
+        for df in cached:
+            df.unpersist(blocking=False)
+        drained = current.filter(self._active_state_pred()).limit(1).count() == 0
+        if drained:
+            wall_ms = int((time.monotonic() - t_start) * 1000)
+            return {
+                "round": k, "eligible": 0, "fetched": 0, "transient": 0,
+                "missing": 0, "links": 0, "new": 0, "wall_ms": wall_ms,
+                "drained": True,
+            }
+        return self._commit_empty_round(k, t_start)
 
     # ----------------------------------------------------------------- round
     def run_round(self, k: int) -> dict:
@@ -745,6 +832,31 @@ class Crawler:
         )
         batch = materialize(batch)  # reused 4×
 
+        # Two-phase small rounds (round-4 floor cut): when the driver-side
+        # active-row bound says everything still schedulable fits in a tiny
+        # batch, spend ONE tiny job on the batch's bucket histogram BEFORE
+        # the fetch/probe DAG exists. Empty rounds exit immediately; tiny
+        # rounds prune the range-clustered cached corpus to the batch's own
+        # buckets — in-memory batch min/max stats then skip every other
+        # cached partition, so a 1-URL tail round costs O(batch) instead of
+        # O(corpus) (a real network fetch is O(batch); the simulation was
+        # the one place LESS scalable than reality). Heavy rounds (the
+        # common case mid-crawl) never take this branch and pay nothing.
+        pages_src = self.pages_idx
+        small = (
+            cfg.small_round_threshold > 0
+            and cfg.broadcast_fetch
+            and self._next_round_bound is not None
+            and self._next_round_bound <= cfg.small_round_threshold
+        )
+        if small:
+            hist = batch.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+            tick("small_probe")
+            if not hist:
+                return self._finish_no_batch(k, t_start, cached, current)
+            pages_src = pages_src.filter(
+                F.col("__pbucket").isin([int(r["bucket"]) for r in hist])
+            )
         # Empty-round fast path (round-3 ADVICE): while waiting out backoffs
         # the batch is empty round after round, but the combined stats action
         # below still runs the full fetch-join/explode/probe DAG (with
@@ -752,34 +864,24 @@ class Crawler:
         # each time). After any empty round, probe cheaply FIRST — one
         # limit(1) job over the already-persisted batch — and skip straight
         # to the drained/empty-commit path. Non-empty rounds (the common
-        # case) never pay the extra job.
-        if self._prev_round_empty and batch.limit(1).count() == 0:
-            for df in cached:
-                df.unpersist(blocking=False)
-            drained = (
-                current.filter(self._active_state_pred()).limit(1).count() == 0
-            )
-            if drained:
-                wall_ms = int((time.monotonic() - t_start) * 1000)
-                return {
-                    "round": k, "eligible": 0, "fetched": 0, "transient": 0,
-                    "missing": 0, "links": 0, "new": 0, "wall_ms": wall_ms,
-                    "drained": True,
-                }
-            return self._commit_empty_round(k, t_start)
+        # case) never pay the extra job. (The small-round histogram above
+        # already answered emptiness when it ran.)
+        elif self._prev_round_empty and batch.limit(1).count() == 0:
+            return self._finish_no_batch(k, t_start, cached, current)
 
         # 4-5. fetch (simulated from the pages corpus) + extract -----------
         if cfg.broadcast_fetch:
-            hit = self.pages_idx.join(F.broadcast(batch), "url_hash", "inner")
+            hit = pages_src.join(F.broadcast(batch), "url_hash", "inner")
         else:
             # shuffle only the batch onto the index's partitioning; the
             # shuffle_hash hint keeps AQE from re-sorting the cached corpus
             # (SMJ) or pulling the batch to the driver (broadcast)
-            hit = self.pages_idx.join(
+            hit = pages_src.join(
                 batch.repartition(self._pages_parts, "url_hash").hint("shuffle_hash"),
                 "url_hash",
                 "inner",
             )
+        hit = hit.drop("__pbucket")  # clustering key; absent in co-partitioned mode
         if cfg.transient_fail_mod > 1:
             transient = (
                 F.pmod(
@@ -872,23 +974,11 @@ class Crawler:
         tick("sched_fetch_probe")
         n_batch = sum(r["n"] for r in stat_rows if r["tag"] == "batch")
         if n_batch == 0:
-            for df in cached:
-                df.unpersist(blocking=False)
             # drained probe: when NO row can ever become eligible again the
             # caller can stop immediately instead of counting empty rounds
             # (and skip the bookkeeping commit — nothing changed, nothing
             # will; resume replays the same empty round)
-            drained = (
-                current.filter(self._active_state_pred()).limit(1).count() == 0
-            )
-            if drained:
-                wall_ms = int((time.monotonic() - t_start) * 1000)
-                return {
-                    "round": k, "eligible": 0, "fetched": 0, "transient": 0,
-                    "missing": 0, "links": 0, "new": 0, "wall_ms": wall_ms,
-                    "drained": True,
-                }
-            return self._commit_empty_round(k, t_start)
+            return self._finish_no_batch(k, t_start, cached, current)
         stage_rows = [r for r in stat_rows if r["tag"] == "stage"]
         suspect_buckets = sorted(
             int(r["bucket"]) for r in stat_rows if r["tag"] == "suspect"
@@ -1168,6 +1258,21 @@ class Crawler:
         for df in cached:
             df.unpersist(blocking=False)
         self._known_count += n_new
+        # exactly one transition row per scheduled URL was appended
+        self._trans_rows += int(n_batch)
+        # Active-row bound maintenance: rows leave the schedulable set only
+        # when their new state is terminal under the CURRENT config —
+        # fetched is terminal unless staleness re-crawls (T10), missing->
+        # failed is terminal unless failure TTL re-admits (T5). Transients
+        # (including give-ups, an over-count) and re-enterable states stay
+        # counted, so the bound NEVER under-predicts; discoveries add n_new.
+        if self._next_round_bound is not None:
+            gone = (int(n_ok) if cfg.staleness_s is None else 0) + (
+                int(n_missing) if cfg.failure_ttl_s is None else 0
+            )
+            self._next_round_bound = (
+                max(0, self._next_round_bound - gone) + int(n_new)
+            )
         self._prev_round_empty = False
         out = {
             "round": k, "eligible": n_batch, "fetched": n_ok,

@@ -284,6 +284,42 @@ def test_copartitioned_fetch_join_equivalent(spark, corpus, baseline, tmp_path):
     assert _crawl_outcome(spark, c) == baseline
 
 
+def test_small_round_fast_path_equivalent(spark, corpus, baseline, tmp_path):
+    """Round-4 two-phase small rounds: the baseline config keeps the fast
+    path armed on every round here (8 seeds << threshold 5000), so (a)
+    disabling it entirely (threshold=0) must give the identical crawl, and
+    (b) on an armed run the driver-side active-row bound must never
+    under-predict a round's scheduled batch, and the bucket pre-probe must
+    actually fire (prof carries small_probe)."""
+    import dataclasses
+    import os
+
+    pages, seeds, robots = corpus
+    cfg_off = dataclasses.replace(_cfg(tmp_path / "sroff"), small_round_threshold=0)
+    off = Crawler(spark, cfg_off, pages, robots)
+    off.run(seeds=seeds)
+    assert _crawl_outcome(spark, off) == baseline
+
+    on = Crawler(spark, _cfg(tmp_path / "sron"), pages, robots)
+    orig_rr, checks = on.run_round, []
+
+    def rr(k):
+        bound = on._next_round_bound
+        s = orig_rr(k)
+        checks.append((bound, s["eligible"], s.get("prof", {})))
+        return s
+
+    on.run_round = rr
+    os.environ["SPARK_GRAFT_PROFILE"] = "1"
+    try:
+        on.run(seeds=seeds)
+    finally:
+        del os.environ["SPARK_GRAFT_PROFILE"]
+    assert _crawl_outcome(spark, on) == baseline
+    assert all(b is None or elig <= b for b, elig, _ in checks)
+    assert any("small_probe" in prof for _, _, prof in checks)
+
+
 def test_entities_nested_table(spark, corpus, tmp_path):
     """X10/X14/W4 engine path: the embedded page-data JSON is parsed into a
     NESTED entities table — issue number/state + the full Comment struct

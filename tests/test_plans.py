@@ -72,6 +72,37 @@ def test_frontier_pipeline_plan_shape(spark):
     assert python_eval_nodes(df) == 0
 
 
+def test_transitions_latest_broadcasts_under_bound(spark, tmp_path):
+    """Round-4: the per-round eligibility join broadcasts the transitions
+    latest-wins view by EXPLICIT hint while the driver-tracked delta row
+    count is under broadcast_transitions_max_rows — asserted with the
+    size-based auto-broadcast disabled, so only the hint can produce the
+    BHJ (the frontier side then pays no shuffle write) — and falls back to
+    the planner's own choice once the delta outgrows the bound."""
+    from gh_crawler_spark.crawler import Crawler, CrawlConfig
+    from gh_crawler_spark.sources.pages import generate_pages, generate_seeds
+
+    pages = generate_pages(spark, 40, seed=3, n_domains=5)
+    seeds = generate_seeds(spark, 40, 4, seed=3, n_domains=5)
+    cfg = CrawlConfig(root=str(tmp_path / "bt"), n_buckets=4, max_rounds=2)
+    c = Crawler(spark, cfg, pages)
+    c.init_frontier(seeds)
+    c.run_round(0)
+    frontier = c._read_active_frontier()
+    trans = c.t["transitions"].read(spark)
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hinted = c._effective_frontier(frontier, trans)
+        assert uses_broadcast_join(hinted)
+        c._trans_rows = cfg.broadcast_transitions_max_rows + 1
+        unhinted = c._effective_frontier(frontier, trans)
+        assert not uses_broadcast_join(unhinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        c.pages_idx.unpersist()
+
+
 def test_no_row_python_anywhere_in_registry(spark):
     """Row-at-a-time Python UDFs (BatchEvalPython) are banned engine-wide;
     Arrow (pandas) UDFs are allowed only in documented places."""
