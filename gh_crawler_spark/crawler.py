@@ -354,7 +354,8 @@ class Crawler:
         # (the _active_state_pred set): seeds in, terminal transitions out
         # (only the ones terminal under the CURRENT T5/T10 config — TTL'd
         # failures / stale fetches stay counted), discoveries in. Gates the
-        # small-round two-phase path. None = unknown (resume) -> disabled.
+        # small-round two-phase path; set by init_frontier (seed count) and
+        # resume_round (_count_active_rows). None = unknown -> disabled.
         self._next_round_bound: int | None = None
         self.robots = robots
         # Driver-side frontier-cardinality counter (sizes the Bloom build
@@ -641,11 +642,6 @@ class Crawler:
         recorded snapshots (exactly-once semantics, SURVEY.md T6)."""
         rounds = self.t["rounds"].read(self.spark)
         self._prev_round_empty = False
-        # conservative after resume: the active-row bound is unknown (it
-        # would need a filtered count), so the small-round fast path stays
-        # off until the next init_frontier; the transitions-delta row count
-        # (broadcast-hint gate) is re-established with one count job.
-        self._next_round_bound = None
         last = (
             rounds.filter(F.col("completed"))
             .orderBy(F.col("round").desc())
@@ -658,6 +654,7 @@ class Crawler:
         if not last:
             self._known_count = self.t["frontier"].read(self.spark).count()
             self._trans_rows = self.t["transitions"].read(self.spark).count()
+            self._next_round_bound = self._count_active_rows()
             self._bloom = PartitionedBloom.build(
                 self.t["frontier"].read(self.spark), "url_hash",
                 n_buckets=self.cfg.n_buckets,
@@ -676,6 +673,7 @@ class Crawler:
                 self.t[name].rollback(row[col])
         self._known_count = self.t["frontier"].read(self.spark).count()
         self._trans_rows = self.t["transitions"].read(self.spark).count()
+        self._next_round_bound = self._count_active_rows()
         # one distributed rebuild on resume; incremental add_np thereafter
         known = self.t["frontier"].read(self.spark).select("url_hash").unionByName(
             self.t["seen"].read(self.spark).select("url_hash")
@@ -686,6 +684,22 @@ class Crawler:
             fpp=self.cfg.bloom_fpp,
         )
         return int(row["round"]) + 1
+
+    def _count_active_rows(self) -> int:
+        """Exact count of rows the scheduler can still see (active
+        partitions, latest transition applied, active-state predicate) —
+        re-arms the small-round fast path after a resume, where the
+        incrementally-maintained bound is otherwise unknown. Production
+        crawls run mostly in resumed sessions, so one extra count job here
+        (resume already pays two counts and a Bloom rebuild) keeps the
+        O(batch) tail-round behavior across restarts."""
+        return int(
+            self._effective_frontier(
+                self._read_active_frontier(), self.t["transitions"].read(self.spark)
+            )
+            .filter(self._active_state_pred())
+            .count()
+        )
 
     def _commit_empty_round(self, k: int, t_start: float) -> dict:
         """Nothing eligible: record the round for resume/termination
