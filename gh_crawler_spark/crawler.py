@@ -175,6 +175,10 @@ class CrawlConfig:
     # costs O(batch); with this the simulated one does too. Correctness
     # never depends on the bound: pruning always uses the batch's OWN
     # buckets. 0 disables (single combined action, no pre-probe).
+    # Caveat: robots-disallowed rows stay 'discovered' forever and inflate
+    # the bound permanently (they are active-state but never eligible) —
+    # on a corpus with a large blocked fraction, size the threshold above
+    # that slack or the tail rounds stop arming.
     small_round_threshold: int = 5000
 
     def __post_init__(self) -> None:

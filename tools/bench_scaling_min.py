@@ -92,6 +92,9 @@ def leg(cpus: int, n_pages: int, seeds: str, max_load: float | None = None) -> N
         "paras": os.environ.get("SPARK_GRAFT_CRAWL_PARAS", "150-350"),
         "wall_s": r["crawl"]["wall_s"], "urls_per_sec": r["crawl"]["urls_per_sec"],
         "rounds": r["crawl"]["rounds"], "load1_at_start": round(load1, 2),
+        # load at leg END diagnoses mid-run background spikes that start-load
+        # gating cannot see (a leg can start at 0.2 and finish under load 10)
+        "load1_at_end": round(os.getloadavg()[0], 2),
     }
     st["legs"].append(entry)
     _save_state(st)
