@@ -175,10 +175,9 @@ class CrawlConfig:
     # costs O(batch); with this the simulated one does too. Correctness
     # never depends on the bound: pruning always uses the batch's OWN
     # buckets. 0 disables (single combined action, no pre-probe).
-    # Caveat: robots-disallowed rows stay 'discovered' forever and inflate
-    # the bound permanently (they are active-state but never eligible) —
-    # on a corpus with a large blocked fraction, size the threshold above
-    # that slack or the tail rounds stop arming.
+    # Robots-disallowed rows — 'discovered' forever but never eligible —
+    # are EXCLUDED from the bound (their count rides in the Bloom-fold
+    # job), so a blocked-heavy corpus does not disarm the tail fast path.
     small_round_threshold: int = 5000
 
     def __post_init__(self) -> None:
@@ -445,12 +444,17 @@ class Crawler:
         if self._bloom is not None:
             self._bloom.close()  # release superseded broadcast handles
         self._bloom = self._empty_bloom()
-        self._known_count = self._bloom.add_df(
-            self.t["frontier"].read(self.spark).select("url_hash")
+        self._known_count, n_blocked = self._bloom.add_df(
+            self.t["frontier"].read(self.spark).select("url_hash", "robots_allowed"),
+            false_count_of="robots_allowed",
         )
-        # every seed starts 'discovered': the active-row bound that gates
-        # the small-round fast path starts at the (deduped) seed count
-        self._next_round_bound = self._known_count
+        # every allowed seed starts 'discovered': the active-row bound that
+        # gates the small-round fast path starts at the (deduped) seed count
+        # MINUS robots-blocked rows — those stay 'discovered' forever but can
+        # never become eligible, and counting them would disarm the tail
+        # fast path permanently on a blocked-heavy corpus. The blocked count
+        # rides in the same Bloom-fold job (no extra action).
+        self._next_round_bound = self._known_count - n_blocked
         self._trans_rows = 0
         self.t["transitions"].append_local([], TRANSITIONS_SCHEMA, {"op": "init"}, overwrite=True)
         self.t["metrics"].append_local([], METRICS_SCHEMA, {"op": "init"}, overwrite=True)
@@ -701,7 +705,7 @@ class Crawler:
             self._effective_frontier(
                 self._read_active_frontier(), self.t["transitions"].read(self.spark)
             )
-            .filter(self._active_state_pred())
+            .filter(self._active_state_pred() & F.col("robots_allowed"))
             .count()
         )
 
@@ -1161,9 +1165,17 @@ class Crawler:
         # url_hashes, and the returned key count IS n_new (one job serves
         # bloom-add + discovery count).
         if self._bloom is not None:
-            n_new = self._bloom.add_df(new_rows.select("url_hash"))
+            n_new, n_new_blocked = self._bloom.add_df(
+                new_rows.select("url_hash", "robots_allowed"),
+                false_count_of="robots_allowed",
+            )
         else:
-            n_new = new_rows.count()
+            row = new_rows.agg(
+                F.count("*").alias("n"),
+                F.sum((~F.coalesce(F.col("robots_allowed"), F.lit(True)))
+                      .cast("long")).alias("b"),
+            ).collect()[0]
+            n_new, n_new_blocked = int(row["n"]), int(row["b"] or 0)
         tick("discover")
 
         # host_state fold: spend tokens, breaker — TOUCHED DOMAINS ONLY ----
@@ -1283,13 +1295,16 @@ class Crawler:
         # fetched is terminal unless staleness re-crawls (T10), missing->
         # failed is terminal unless failure TTL re-admits (T5). Transients
         # (including give-ups, an over-count) and re-enterable states stay
-        # counted, so the bound NEVER under-predicts; discoveries add n_new.
+        # counted, so the bound NEVER under-predicts; discoveries add only
+        # their robots-ALLOWED rows (blocked rows are never eligible and
+        # would otherwise accumulate into the bound forever).
         if self._next_round_bound is not None:
             gone = (int(n_ok) if cfg.staleness_s is None else 0) + (
                 int(n_missing) if cfg.failure_ttl_s is None else 0
             )
             self._next_round_bound = (
-                max(0, self._next_round_bound - gone) + int(n_new)
+                max(0, self._next_round_bound - gone)
+                + int(n_new) - int(n_new_blocked)
             )
         self._prev_round_empty = False
         out = {

@@ -44,17 +44,23 @@ _MIX2 = np.uint64(0x94D049BB133111EB)
 
 def _bucket_bitmaps(
     df: DataFrame, key_col: str, n_buckets: int, m: int, k: int,
-    with_count: bool = False,
+    with_count: bool = False, false_count_of: str | None = None,
 ) -> DataFrame:
-    """(bucket, bitmap[, n_keys]) — one Bloom bitmap per key-bucket, built by
-    a grouped-map pandas UDF. Shared by :meth:`PartitionedBloom.build` (full
-    rebuild) and :meth:`PartitionedBloom.add_df` (incremental delta)."""
+    """(bucket, bitmap[, n_keys[, n_false]]) — one Bloom bitmap per
+    key-bucket, built by a grouped-map pandas UDF. Shared by
+    :meth:`PartitionedBloom.build` (full rebuild) and
+    :meth:`PartitionedBloom.add_df` (incremental delta). ``false_count_of``
+    names a boolean column whose per-bucket False count rides along in the
+    same job (the crawler uses it to keep robots-blocked rows out of the
+    small-round active bound without a second action)."""
     fields = [
         T.StructField("bucket", T.IntegerType()),
         T.StructField("bitmap", T.BinaryType()),
     ]
     if with_count:
         fields.append(T.StructField("n_keys", T.LongType()))
+    if false_count_of is not None:
+        fields.append(T.StructField("n_false", T.LongType()))
     out_schema = T.StructType(fields)
 
     def build_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -65,10 +71,16 @@ def _bucket_bitmaps(
         out = {"bucket": [int(pdf["__bucket"].iloc[0])], "bitmap": [bits.tobytes()]}
         if with_count:
             out["n_keys"] = [len(h)]
+        if false_count_of is not None:
+            flags = pdf[false_count_of].fillna(True).to_numpy(dtype=bool)
+            out["n_false"] = [int((~flags).sum())]
         return pd.DataFrame(out)
 
+    cols = [F.col(key_col)]
+    if false_count_of is not None:
+        cols.append(F.col(false_count_of))
     return (
-        df.select(F.col(key_col), F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int").alias("__bucket"))
+        df.select(*cols, F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int").alias("__bucket"))
         .groupBy("__bucket")
         .applyInPandas(build_bucket, schema=out_schema)
     )
@@ -199,7 +211,10 @@ class PartitionedBloom:
                 np.bitwise_or.at(delta, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
             self._merge_delta(int(b), delta)
 
-    def add_df(self, df: DataFrame, key_col: str = "url_hash") -> int:
+    def add_df(
+        self, df: DataFrame, key_col: str = "url_hash",
+        false_count_of: str | None = None,
+    ) -> int | tuple[int, int]:
         """Fold new keys in DISTRIBUTED: per-bucket delta bitmaps are built by
         a grouped-map pandas UDF (only buckets that gained keys produce one),
         shipped to the driver as one binary cell per touched bucket, and
@@ -213,16 +228,25 @@ class PartitionedBloom:
         callers don't need a separate ``count()`` job. The deltas also feed
         the next probe's delta broadcast (see class docstring) — the full
         filter is never re-shipped.
+
+        With ``false_count_of`` (a boolean column of ``df``), returns
+        ``(n_keys, n_false)`` — the False total rides in the same job so a
+        caller needing both never launches a second action.
         """
         rows = _bucket_bitmaps(
-            df, key_col, self.n_buckets, self.bits_per_bucket, self.k, with_count=True
+            df, key_col, self.n_buckets, self.bits_per_bucket, self.k,
+            with_count=True, false_count_of=false_count_of,
         ).collect()
-        total = 0
+        total, total_false = 0, 0
         for r in rows:
             total += int(r["n_keys"])
+            if false_count_of is not None:
+                total_false += int(r["n_false"])
             self._merge_delta(
                 int(r["bucket"]), np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8)
             )
+        if false_count_of is not None:
+            return total, total_false
         return total
 
     # -- build --------------------------------------------------------------

@@ -51,6 +51,30 @@ def test_add_df_matches_build_and_counts(spark):
     assert inc.add_df(spark.range(0, 0).select(F.xxhash64("id").alias("url_hash"))) == 0
 
 
+def test_add_df_false_count_rides_along(spark):
+    """add_df(false_count_of=...) returns (n_keys, n_false) from the SAME
+    job — the crawler's robots-blocked accounting for the small-round
+    bound — and folds bits identically to the plain path."""
+    df = spark.range(0, 1000).select(
+        F.xxhash64("id").alias("url_hash"),
+        (F.col("id") % 4 != 0).alias("robots_allowed"),  # 250 blocked
+    )
+    a = PartitionedBloom.empty(n_buckets=8, expected_per_bucket=300)
+    n, n_false = a.add_df(df, false_count_of="robots_allowed")
+    assert (n, n_false) == (1000, 250)
+    b = PartitionedBloom.empty(n_buckets=8, expected_per_bucket=300)
+    assert b.add_df(df.select("url_hash")) == 1000
+    assert set(a.bitmaps) == set(b.bitmaps)
+    for k, bits in b.bitmaps.items():
+        assert np.array_equal(bits, a.bitmaps[k]), k
+    # nulls count as allowed (coalesce-to-True, matching the engine)
+    df2 = spark.range(0, 10).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.lit(None).cast("boolean").alias("robots_allowed"),
+    )
+    assert a.add_df(df2, false_count_of="robots_allowed") == (10, 0)
+
+
 def test_crawler_never_collects_url_hashes():
     """The flagship pipeline's serial-collection guard (round-1 verdict #2):
     crawler.py must not pull url_hash keys to the driver — Bloom maintenance
