@@ -67,6 +67,37 @@ def prep(n_pages: int) -> None:
     print(f"corpus written: {out}")
 
 
+def _cpu_counters() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — whole-box cumulative.
+
+    On a VM, guest loadavg cannot see hypervisor-level contention; the steal
+    counter can. The per-leg delta (steal / total elapsed jiffies) is the
+    honest 'was the host taken away from us mid-run' number that start-load
+    gating keeps missing.
+    """
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _cpu_probe() -> float:
+    """Wall seconds for a fixed pure-Python kernel (~1 s on an idle core).
+
+    A speed-of-light reference: the same instruction stream every time, so
+    probe-time ratios between legs measure effective single-core speed
+    (hypervisor contention, frequency scaling) independent of Spark.
+    """
+    import time
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(6_000_000):
+        acc += i * i & 0xFFFF
+    assert acc >= 0
+    return round(time.perf_counter() - t0, 3)
+
+
 def leg(cpus: int, n_pages: int, seeds: str, max_load: float | None = None) -> None:
     load1 = os.getloadavg()[0]
     if max_load is not None and load1 > max_load:
@@ -81,11 +112,14 @@ def leg(cpus: int, n_pages: int, seeds: str, max_load: float | None = None) -> N
         SPARK_GRAFT_CRAWL_SEEDS=str(seeds),
         SPARK_GRAFT_CRAWL_CORPUS_DIR=_corpus_dir(n_pages),
     )
+    steal0, total0 = _cpu_counters()
+    probe0 = _cpu_probe()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True, cwd=REPO,
     )
     r = json.loads(out.stdout.strip().splitlines()[-1])
+    steal1, total1 = _cpu_counters()
     st = _load_state()
     entry = {
         "cpus": cpus, "n_pages": n_pages, "seeds": seeds,
@@ -95,6 +129,14 @@ def leg(cpus: int, n_pages: int, seeds: str, max_load: float | None = None) -> N
         # load at leg END diagnoses mid-run background spikes that start-load
         # gating cannot see (a leg can start at 0.2 and finish under load 10)
         "load1_at_end": round(os.getloadavg()[0], 2),
+        # hypervisor steal across the whole leg (incl. untimed setup), as a
+        # percent of all elapsed jiffies box-wide — the contention loadavg
+        # cannot see. 0.0 means the slow leg was NOT stolen cycles.
+        "steal_pct": round(100.0 * (steal1 - steal0) / max(total1 - total0, 1), 2),
+        # fixed-kernel wall at start/end: ratio vs the pool's best probe is
+        # the box's effective single-core slowdown for this leg
+        "probe_s_start": probe0,
+        "probe_s_end": _cpu_probe(),
     }
     st["legs"].append(entry)
     _save_state(st)
