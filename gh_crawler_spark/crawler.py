@@ -408,46 +408,83 @@ class Crawler:
             .dropDuplicates(["url_hash"])
             .select([f.name for f in FRONTIER_SCHEMA.fields])
         )
-        # Written with partition overwrite so EVERY frontier file is bucketed:
-        # later per-round overwrite_partitions can only replace bucketed files.
-        self.t["frontier"].overwrite_partitions(fr, "bucket", {"op": "init"}, replace_all=True)
+        # ONE materialization of the seed pipeline (canonicalize + robots
+        # join + dedup window): the frontier write, the host_state domain
+        # scan, and the Bloom seed-fold below all reuse the cached result.
+        # The old shape ran the full plan three times SEQUENTIALLY (the
+        # Bloom fold even re-read the just-written parquet) — a ~10 s
+        # parallelism-independent bootstrap floor inside the timed window
+        # at sandbox scale, and three redundant passes over 10^8-row seed
+        # lists at production scale.
+        fr = fr.persist()
+        try:
+            # Written with partition overwrite so EVERY frontier file is
+            # bucketed: later per-round overwrite_partitions can only
+            # replace bucketed files. This first action populates the cache.
+            self.t["frontier"].overwrite_partitions(
+                fr, "bucket", {"op": "init"}, replace_all=True
+            )
 
-        # seen carries the same hash bucket as the frontier; every append is
-        # partitioned by it so the discovery backstop can prune to suspect
-        # buckets (round-1 verdict #3: an unpartitioned seen table is a full
-        # map-side scan per round at 10^10 rows). Empty-table bootstraps are
-        # schema-only manifest commits — no Spark write job each.
-        self.t["seen"].init_empty(
-            "url_hash BIGINT, bucket INT, crawl_ts TIMESTAMP", {"op": "init"}
-        )
-        self.t["results"].init_empty(
-            "url STRING, url_hash BIGINT, warc_ts TIMESTAMP, status STRING, "
-            "text STRING, lang STRING, round INT",
-            {"op": "init"},
-        )
-        self.t["entities"].init_empty(ENTITIES_DDL, {"op": "init"})
+            # The remaining bootstrap commits are mutually independent and
+            # all read only the cached `fr` (or nothing): overlap them so
+            # the bootstrap floor is max(), not sum(). Thread-safe for the
+            # same reason the per-round commit pool is: each SnapshotTable
+            # commit is independent and atomic, and `rounds` (the resume
+            # barrier) is only bootstrapped after every future resolves.
+            pool = ThreadPoolExecutor(max_workers=4)
+            futs = [
+                # seen carries the same hash bucket as the frontier; every
+                # append is partitioned by it so the discovery backstop can
+                # prune to suspect buckets (round-1 verdict #3). Empty-table
+                # bootstraps are schema-only manifest commits — no Spark
+                # write job each.
+                pool.submit(
+                    self.t["seen"].init_empty,
+                    "url_hash BIGINT, bucket INT, crawl_ts TIMESTAMP",
+                    {"op": "init"},
+                ),
+                pool.submit(
+                    self.t["results"].init_empty,
+                    "url STRING, url_hash BIGINT, warc_ts TIMESTAMP, "
+                    "status STRING, text STRING, lang STRING, round INT",
+                    {"op": "init"},
+                ),
+                pool.submit(self.t["entities"].init_empty, ENTITIES_DDL, {"op": "init"}),
+                # host_state: one row per registrable domain seen so far;
+                # rate from robots crawl_delay (reference analog: 0.1 s/req,
+                # src/config.py:81). Append-only thereafter: rounds append
+                # only touched domains (see _read_host_state), compact()
+                # folds. asof_round=-1 so a domain touched in round 0 (which
+                # appends an asof_round=0 row) never ties with its init row
+                # in the latest-wins window; the lazy refill is unaffected
+                # because init tokens start at capacity (already pinned at
+                # the cap, extra elapsed time is a no-op).
+                pool.submit(
+                    self.t["host_state"].overwrite,
+                    self._new_host_rows(
+                        fr.select("registrable_domain").distinct(), asof_round=-1
+                    ),
+                    {"op": "init"},
+                ),
+            ]
 
-        # host_state: one row per registrable domain seen so far; rate from
-        # robots crawl_delay (reference analog: 0.1 s/req, src/config.py:81).
-        # Append-only thereafter: rounds append only touched domains (see
-        # _read_host_state), compact() folds.
-        # asof_round=-1 so a domain touched in round 0 (which appends an
-        # asof_round=0 row) never ties with its init row in the latest-wins
-        # window; the lazy refill is unaffected because init tokens start at
-        # capacity (already pinned at the cap, extra elapsed time is a no-op)
-        domains = fr.select("registrable_domain").distinct()
-        hs = self._new_host_rows(domains, asof_round=-1)
-        self.t["host_state"].overwrite(hs, {"op": "init"})
-
-        # distributed fold of the seed keys into the fresh Bloom; the returned
-        # key count doubles as the frontier cardinality (no separate count job)
-        if self._bloom is not None:
-            self._bloom.close()  # release superseded broadcast handles
-        self._bloom = self._empty_bloom()
-        self._known_count, n_blocked = self._bloom.add_df(
-            self.t["frontier"].read(self.spark).select("url_hash", "robots_allowed"),
-            false_count_of="robots_allowed",
-        )
+            # distributed fold of the seed keys into the fresh Bloom; the
+            # returned key count doubles as the frontier cardinality (no
+            # separate count job). Folded from the cached `fr` — the written
+            # frontier holds exactly these rows by construction, so the old
+            # read-back of the fresh parquet was a redundant scan.
+            if self._bloom is not None:
+                self._bloom.close()  # release superseded broadcast handles
+            self._bloom = self._empty_bloom()
+            self._known_count, n_blocked = self._bloom.add_df(
+                fr.select("url_hash", "robots_allowed"),
+                false_count_of="robots_allowed",
+            )
+            for f in futs:
+                f.result()
+            pool.shutdown()
+        finally:
+            fr.unpersist(blocking=False)
         # every allowed seed starts 'discovered': the active-row bound that
         # gates the small-round fast path starts at the (deduped) seed count
         # MINUS robots-blocked rows — those stay 'discovered' forever but can
@@ -856,13 +893,21 @@ class Crawler:
 
         # Two-phase small rounds (round-4 floor cut): when the driver-side
         # active-row bound says everything still schedulable fits in a tiny
-        # batch, spend ONE tiny job on the batch's bucket histogram BEFORE
-        # the fetch/probe DAG exists. Empty rounds exit immediately; tiny
-        # rounds prune the range-clustered cached corpus to the batch's own
+        # batch, collect the batch ITSELF (bounded ≤ threshold rows by the
+        # same driver-tracked bound that armed the path) BEFORE the
+        # fetch/probe DAG exists. Empty rounds exit immediately; tiny rounds
+        # (a) prune the range-clustered cached corpus to the batch's own
         # buckets — in-memory batch min/max stats then skip every other
         # cached partition, so a 1-URL tail round costs O(batch) instead of
         # O(corpus) (a real network fetch is O(batch); the simulation was
-        # the one place LESS scalable than reality). Heavy rounds (the
+        # the one place LESS scalable than reality) — and (b) rebuild the
+        # batch as a LocalRelation, which collapses every downstream plan
+        # that references it (broadcast fetch join, missing anti-join,
+        # per-host fold, transition rows) to a trivial local node. Tail
+        # rounds are dominated by parallelism-independent DRIVER cost
+        # (per-round Catalyst analysis + codegen — round literals defeat the
+        # plan cache), profiled at ~5.5 s for a 1-URL round; shrinking the
+        # plans is the only lever that cost responds to. Heavy rounds (the
         # common case mid-crawl) never take this branch and pay nothing.
         pages_src = self.pages_idx
         small = (
@@ -872,12 +917,19 @@ class Crawler:
             and self._next_round_bound <= cfg.small_round_threshold
         )
         if small:
-            hist = batch.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+            batch_schema = batch.schema
+            batch_rows = batch.collect()
             tick("small_probe")
-            if not hist:
+            if not batch_rows:
                 return self._finish_no_batch(k, t_start, cached, current)
+            # collect→createDataFrame round-trips next_fetch_ts exactly:
+            # both directions convert through the driver's local tz (and
+            # engine sessions pin UTC), so the rebuilt rows are the batch
+            batch = spark.createDataFrame(batch_rows, schema=batch_schema)
             pages_src = pages_src.filter(
-                F.col("__pbucket").isin([int(r["bucket"]) for r in hist])
+                F.col("__pbucket").isin(
+                    sorted({int(r["bucket"]) for r in batch_rows})
+                )
             )
         # Empty-round fast path (round-3 ADVICE): while waiting out backoffs
         # the batch is empty round after round, but the combined stats action
