@@ -142,7 +142,13 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from gh_crawler_spark.session import get_spark
 
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # The unified memory pool must hold the simulated-corpus cache (~19 GB
+    # at the heavy 120k corpus) PLUS a round's working set (persisted
+    # extracted text + shuffles). At 48g, round-0 GC/eviction pressure cost
+    # 30-70 s at local[8] (profiled 2026-08-17: r0 sched_fetch_probe 117-163 s
+    # at 48g vs 83.6 s at 80g, same input); on a real cluster this is the
+    # executor-memory sizing the job ships with. The box has 128 GiB.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "80g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

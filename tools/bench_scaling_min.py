@@ -124,6 +124,10 @@ def leg(cpus: int, n_pages: int, seeds: str, max_load: float | None = None) -> N
     entry = {
         "cpus": cpus, "n_pages": n_pages, "seeds": seeds,
         "paras": os.environ.get("SPARK_GRAFT_CRAWL_PARAS", "150-350"),
+        # driver heap is part of the measured config (it moved round-0 wall
+        # by 30-70 s at the heavy corpus): legs with different heaps never
+        # mix in one min-of-legs report
+        "mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "80g"),
         "wall_s": r["crawl"]["wall_s"], "urls_per_sec": r["crawl"]["urls_per_sec"],
         "rounds": r["crawl"]["rounds"], "load1_at_start": round(load1, 2),
         # load at leg END diagnoses mid-run background spikes that start-load
@@ -147,10 +151,13 @@ def report(lo: int, hi: int, write: bool = True) -> None:
     st = _load_state()
     # compare like with like: only legs matching the most recent leg's config
     last = st["legs"][-1] if st["legs"] else None
-    key = (last["n_pages"], str(last["seeds"]), last.get("paras")) if last else None
+    key = (
+        (last["n_pages"], str(last["seeds"]), last.get("paras"), last.get("mem"))
+        if last else None
+    )
     legs = [
         x for x in st["legs"]
-        if (x["n_pages"], str(x["seeds"]), x.get("paras")) == key
+        if (x["n_pages"], str(x["seeds"]), x.get("paras"), x.get("mem")) == key
     ]
     legs_lo = [leg for leg in legs if leg["cpus"] == lo]
     legs_hi = [leg for leg in legs if leg["cpus"] == hi]
