@@ -1398,6 +1398,23 @@ class Crawler:
         cap = max_rounds if max_rounds is not None else self.cfg.max_rounds
         stats, empty, since_compact = [], 0, 0
         for k in range(start, cap):
+            if self._next_round_bound == 0:
+                # The driver-tracked active-row bound never under-predicts
+                # (seeds − terminal-under-config + allowed discoveries), so
+                # bound 0 proves no row can ever become eligible again —
+                # the same certainty as run_round's drained probe, without
+                # launching a single job. Outcome-equivalent to running the
+                # trailing empty round(s): nothing is committed either way
+                # (resume replays the same empty round), so the simulator
+                # mirror — which just runs the empty rounds out — reaches
+                # identical fetch/seen outcomes.
+                s = {"round": k, "eligible": 0, "fetched": 0, "transient": 0,
+                     "missing": 0, "links": 0, "new": 0, "wall_ms": 0,
+                     "drained": True}
+                stats.append(s)
+                if log:
+                    log(s)
+                break
             s = self.run_round(k)
             stats.append(s)
             if log:

@@ -27,6 +27,13 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STATE = "/tmp/scaling_min_state.json"
+# Measurement-protocol tag: bumped MANUALLY whenever the engine or the bench
+# harness changes in a way that moves leg walls (serial-floor cuts, heap
+# sizing, warmup relocation, ...). Legs record it and report() keys on it, so
+# a min-of-legs table never mixes legs from different engines — "min of the
+# best legs ever" across engine versions would overstate whichever side
+# happened to get more attempts on the fastest build.
+PROTO = "r4-warm"
 
 
 def _load_state() -> dict:
@@ -128,6 +135,7 @@ def leg(cpus: int, n_pages: int, seeds: str, max_load: float | None = None) -> N
         # by 30-70 s at the heavy corpus): legs with different heaps never
         # mix in one min-of-legs report
         "mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "80g"),
+        "proto": PROTO,
         "wall_s": r["crawl"]["wall_s"], "urls_per_sec": r["crawl"]["urls_per_sec"],
         "rounds": r["crawl"]["rounds"], "load1_at_start": round(load1, 2),
         # load at leg END diagnoses mid-run background spikes that start-load
@@ -152,12 +160,14 @@ def report(lo: int, hi: int, write: bool = True) -> None:
     # compare like with like: only legs matching the most recent leg's config
     last = st["legs"][-1] if st["legs"] else None
     key = (
-        (last["n_pages"], str(last["seeds"]), last.get("paras"), last.get("mem"))
+        (last["n_pages"], str(last["seeds"]), last.get("paras"),
+         last.get("mem"), last.get("proto"))
         if last else None
     )
     legs = [
         x for x in st["legs"]
-        if (x["n_pages"], str(x["seeds"]), x.get("paras"), x.get("mem")) == key
+        if (x["n_pages"], str(x["seeds"]), x.get("paras"),
+            x.get("mem"), x.get("proto")) == key
     ]
     legs_lo = [leg for leg in legs if leg["cpus"] == lo]
     legs_hi = [leg for leg in legs if leg["cpus"] == hi]
