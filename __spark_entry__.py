@@ -33,9 +33,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle for each SQL-expressible query (omitted for
-    hash-sketch ops: x16_url_hash, td_minhash_lsh, td_simhash, td_lsh_ann,
-    td_ivf_ann — driver records rows-only; each is pytest-asserted)."""
+    """DuckDB-runnable oracle for each query. Since round 5 every entry in
+    the driver's 50-entry recording window has one — the hash-sketch ops
+    (x16/minhash/simhash/lsh-ann) are oracled via XXH64 re-implemented as
+    pure DuckDB SQL macros (gh_crawler_spark/functions/duck_xxh64.py), and
+    td_ivf_ann runs at nprobe=n_cells where IVF provably equals brute-force
+    cosine. The only remaining rows-only entry is the past-cap
+    td_ivf_ann_probe (nprobe<n_cells pruning path; pytest-gated)."""
     from gh_crawler_spark.queries import QUERIES
 
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

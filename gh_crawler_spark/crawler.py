@@ -73,6 +73,56 @@ from gh_crawler_spark.tables import SnapshotTable
 EPOCH = dt.datetime(2024, 6, 1, 0, 0, 0)
 
 
+def _scan_java_only_regex(pat: str) -> str | None:
+    """Return a description of the first Java-regex-only construct in
+    ``pat``, or None if the pattern stays in the Java∩Python common subset.
+
+    Escape- and character-class-aware (round-4 ADVICE: a raw substring scan
+    falsely rejected ``a\\++`` — escaped plus then a ``+`` quantifier — and a
+    literal ``&&`` outside a class, which is legal in both dialects). Flags:
+      * possessive quantifiers: an unescaped ``+`` directly after an
+        unescaped quantifier terminator (``*`` ``+`` ``?`` ``}``) outside a
+        class (lazy ``*?``/``+?`` stay legal — only a trailing ``+`` is
+        possessive);
+      * ``&&`` (both unescaped) inside a character class (Java intersection);
+      * ``\\h \\H \\v \\V`` as real escapes (odd backslash run): ``\\h/\\H/\\V``
+        do not compile under Python re, and ``\\v`` compiles but means
+        vertical-TAB in Python vs vertical-whitespace CLASS in Java.
+    """
+    in_class = False
+    prev_quant = False  # previous char: unescaped quantifier terminator
+    prev_amp = False  # previous char: unescaped '&' inside a class
+    i, n = 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "\\":
+            nxt = pat[i + 1] if i + 1 < n else ""
+            if nxt in "hHvV":
+                return f"'\\{nxt}'"
+            i += 2  # consume the escape; an escaped char is a plain literal
+            prev_quant = prev_amp = False
+            continue
+        if in_class:
+            if c == "&" and prev_amp:
+                return "'&&' inside a character class"
+            prev_amp = c == "&"
+            if c == "]":
+                in_class = False
+                prev_amp = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            prev_quant = prev_amp = False
+            i += 1
+            continue
+        if c == "+" and prev_quant:
+            return "a possessive quantifier ('*+', '++', '?+' or '{..}+')"
+        prev_quant = c in "*+?}"
+        i += 1
+    return None
+
+
 @dataclass
 class CrawlConfig:
     root: str                      # snapshot-table warehouse dir
@@ -179,6 +229,16 @@ class CrawlConfig:
     # are EXCLUDED from the bound (their count rides in the Bloom-fold
     # job), so a blocked-heavy corpus does not disarm the tail fast path.
     small_round_threshold: int = 5000
+    # Robots TTL (rounds): every N rounds the crawler re-consults its
+    # robots_provider and, for domains whose rules TEXT changed, re-verdicts
+    # the active frontier rows of ONLY those domains (a transitions append
+    # carrying robots_allowed — O(changed-domain rows), never a frontier
+    # rewrite; folded at the next compact()). 0 disables (rules frozen at
+    # init — the pre-round-5 behavior, and the bench default: a refresh that
+    # finds no provider or no diff costs one dim-table compare). A real
+    # crawler re-fetches robots.txt periodically; the reference never does
+    # (robots is an engine addition per the north rule).
+    robots_ttl_rounds: int = 0
 
     def __post_init__(self) -> None:
         # F3 regex subset validation (see the comment above link_shape):
@@ -198,12 +258,12 @@ class CrawlConfig:
                     f"CrawlConfig.{name}: pattern must compile under Python "
                     f"re (engine/simulator parity): {e}"
                 ) from e
-            for tok in ("*+", "++", "?+", "&&", r"\h", r"\H", r"\v", r"\V"):
-                if tok in pat:
-                    raise ValueError(
-                        f"CrawlConfig.{name}: '{tok}' is Java-regex-only and "
-                        "diverges from the Python re simulator spec"
-                    )
+            tok = _scan_java_only_regex(pat)
+            if tok is not None:
+                raise ValueError(
+                    f"CrawlConfig.{name}: {tok} is Java-regex-only and "
+                    "diverges from the Python re simulator spec"
+                )
             if name == "link_same_scope" and compiled.groups != 1:
                 raise ValueError(
                     "CrawlConfig.link_same_scope needs exactly ONE capture "
@@ -238,6 +298,10 @@ TRANSITIONS_SCHEMA = T.StructType(
         T.StructField("next_fetch_ts", T.TimestampType()),
         T.StructField("attempt", T.IntegerType()),
         T.StructField("round", T.IntegerType()),
+        # NULL on ordinary state transitions (verdict unchanged); set by the
+        # robots-TTL refresh when a domain's rules change (coalesced into the
+        # frontier view like the other columns, folded at compact())
+        T.StructField("robots_allowed", T.BooleanType()),
     ]
 )
 
@@ -299,16 +363,24 @@ PAYLOAD_DDL = (
 class Crawler:
     def __init__(self, spark: SparkSession, cfg: CrawlConfig, pages: DataFrame,
                  robots: DataFrame | None = None,
-                 budget_overrides: DataFrame | None = None):
+                 budget_overrides: DataFrame | None = None,
+                 robots_provider=None):
         """``budget_overrides`` (W2): optional ``(registrable_domain, budget)``
         table — the reference's per-repo limit map (REPOSITORY_PR_LIMITS,
         ``src/config.py:96-102``; applied ``src/aggressive_pr_scraper.py:
         144-151``). An override CAPS the token-derived budget (politeness
         still applies): ``host_budget = least(floor(tokens), override)``.
-        Broadcast-joined once per round — at any scale this is a dim table."""
+        Broadcast-joined once per round — at any scale this is a dim table.
+
+        ``robots_provider`` (robots TTL): optional ``(round_k) -> DataFrame``
+        returning the CURRENT robots dim; consulted every
+        ``cfg.robots_ttl_rounds`` rounds (the re-fetch through the normal
+        fetch path is simulated by the provider, as all fetching is in this
+        sandbox). Mirrored in simulator.py — the CLAUDE.md invariant."""
         self.spark = spark
         self.cfg = cfg
         self.budget_overrides = budget_overrides
+        self._robots_provider = robots_provider
         self.t = {
             name: SnapshotTable(cfg.root, name)
             for name in ("frontier", "transitions", "seen", "results", "host_state",
@@ -508,8 +580,20 @@ class Crawler:
         frontier's shuffle WRITE (O(frontier) rows × full width, every
         round). Past the bound AQE decides from real sizes."""
         w = Window.partitionBy("url_hash").orderBy(F.col("round").desc())
+        hint = (
+            self.cfg.broadcast_transitions_max_rows > 0
+            and self._trans_rows <= self.cfg.broadcast_transitions_max_rows
+        )
+        # Two DISJOINT latest-wins views: state transitions own state/nft/
+        # attempt (robots_allowed NULL on every regular row), robots-TTL
+        # refresh rows own robots_allowed (state fields NULL). A refresh and
+        # a fetch can land in the SAME round for the same url_hash; a single
+        # latest-wins over both would tie on `round` and pick a winner
+        # nondeterministically — a fetched row could revert to 'discovered'
+        # (caught by the robots-TTL e2e equivalence test, round 5).
         latest = (
-            trans.withColumn("__rn", F.row_number().over(w))
+            trans.filter(F.col("robots_allowed").isNull())
+            .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(
                 "url_hash",
@@ -518,18 +602,34 @@ class Crawler:
                 F.col("attempt").alias("__t_attempt"),
             )
         )
-        if (
-            self.cfg.broadcast_transitions_max_rows > 0
-            and self._trans_rows <= self.cfg.broadcast_transitions_max_rows
-        ):
+        rob = (
+            trans.filter(F.col("robots_allowed").isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("url_hash", F.col("robots_allowed").alias("__t_rob"))
+        )
+        if hint:
             latest = F.broadcast(latest)
-        return (
+            rob = F.broadcast(rob)
+        out = (
             frontier.join(latest, "url_hash", "left")
             .withColumn("state", F.coalesce(F.col("__t_state"), F.col("state")))
             .withColumn("next_fetch_ts", F.coalesce(F.col("__t_nft"), F.col("next_fetch_ts")))
             .withColumn("attempt", F.coalesce(F.col("__t_attempt"), F.col("attempt")))
             .drop("__t_state", "__t_nft", "__t_attempt")
         )
+        if self.cfg.robots_ttl_rounds > 0:
+            # the robots view only exists when TTL can write it — every
+            # other config keeps the exact pre-round-5 single-join plan
+            out = (
+                out.join(rob, "url_hash", "left")
+                .withColumn(
+                    "robots_allowed",
+                    F.coalesce(F.col("__t_rob"), F.col("robots_allowed")),
+                )
+                .drop("__t_rob")
+            )
+        return out
 
     def _active_state_pred(self):
         """States that can still become eligible (terminal states depend on
@@ -618,6 +718,97 @@ class Crawler:
             )
             .drop("robots_rules")
         )
+
+    def _refresh_robots(self, k: int) -> None:
+        """Robots TTL re-fetch: pull the current rules dim from the provider,
+        diff against the held rules, and re-verdict the ACTIVE frontier rows
+        of only the CHANGED domains via a transitions append carrying the new
+        ``robots_allowed`` (state/nft/attempt are copied from the effective
+        row so latest-wins does not shadow an earlier real transition).
+
+        Scale shape: robots is a dim table on both sides of the diff, the
+        re-verdict join is broadcast-changed-domains × active frontier
+        (O(rows of changed domains), never a frontier rewrite), and the
+        verdicts fold into the frontier at the next compact() like any other
+        transition. Crash-safety is free: the append rides this round's
+        snapshot chain, so a mid-round failure rolls it back with the round
+        and the re-run repeats the refresh deterministically.
+
+        Rules-TEXT changes only — a domain's crawl_delay (and so its token
+        rate) stays as first fetched, mirrored by the simulator, which also
+        leaves existing host rates untouched on refresh."""
+        spark = self.spark
+        new = self._robots_provider(k)
+        if new is None or self.robots is None:
+            if new is not None:
+                self.robots = new
+            return
+        old_rules = self.robots.select(
+            "registrable_domain", F.col("robots_rules").alias("__old_rules")
+        )
+        changed = (
+            new.select("registrable_domain", "robots_rules")
+            .join(old_rules, "registrable_domain", "full_outer")
+            .filter(
+                F.coalesce(F.col("robots_rules"), F.lit(""))
+                != F.coalesce(F.col("__old_rules"), F.lit(""))
+            )
+            .select(
+                "registrable_domain",
+                F.coalesce(F.col("robots_rules"), F.lit("")).alias("robots_rules"),
+            )
+        )
+        self.robots = new  # newly-discovered domains verdict under new rules
+        changed = changed.persist()
+        try:
+            if changed.limit(1).count() == 0:
+                return
+            eff = self._effective_frontier(
+                self._read_active_frontier(), self.t["transitions"].read(spark)
+            ).filter(self._active_state_pred())
+            flips = (
+                eff.join(F.broadcast(changed), "registrable_domain")
+                .select(
+                    "url_hash",
+                    F.col("robots_allowed").alias("__old_v"),
+                    robots_allowed_udf(F.col("robots_rules"), F.col("url")).alias("__new_v"),
+                )
+                .filter(F.col("__new_v") != F.col("__old_v"))
+                .persist()
+            )
+            try:
+                stats = flips.agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("__new_v").cast("int")).alias("n_allowed"),
+                ).collect()[0]
+                n_flips = int(stats["n"] or 0)
+                if n_flips == 0:
+                    return
+                # verdict-only rows: state/nft/attempt stay NULL so the
+                # refresh can never shadow (or tie with) a real state
+                # transition — _effective_frontier reads robots through its
+                # own latest-wins view
+                self.t["transitions"].append(
+                    flips.select(
+                        "url_hash",
+                        F.lit(None).cast("string").alias("state"),
+                        F.lit(None).cast("timestamp").alias("next_fetch_ts"),
+                        F.lit(None).cast("int").alias("attempt"),
+                        F.lit(k).cast("int").alias("round"),
+                        F.col("__new_v").alias("robots_allowed"),
+                    ),
+                    {"round": k, "op": "robots_refresh"},
+                )
+                self._trans_rows += n_flips
+                # the active-row bound must never under-predict: newly
+                # ALLOWED rows join the schedulable set (add them); newly
+                # blocked rows only make it more of an over-estimate
+                if self._next_round_bound is not None:
+                    self._next_round_bound += int(stats["n_allowed"] or 0)
+            finally:
+                flips.unpersist()
+        finally:
+            changed.unpersist()
 
     def _new_host_rows(self, domains: DataFrame, asof_round: int) -> DataFrame:
         cfg = self.cfg
@@ -822,6 +1013,18 @@ class Crawler:
             cached.append(df)
             return df
 
+        # Robots TTL (round-4 verdict item #5): refresh rules BEFORE
+        # eligibility so this round already schedules under the new verdicts
+        # (simulator.py mirrors at the identical point in its run_round).
+        if (
+            cfg.robots_ttl_rounds > 0
+            and k > 0
+            and k % cfg.robots_ttl_rounds == 0
+            and self._robots_provider is not None
+        ):
+            self._refresh_robots(k)
+            tick("robots_refresh")
+
         # Eligibility only ever needs rows that can still become eligible —
         # archived terminal rows (bucket ≥ n_buckets since the last compact)
         # are pruned file-level here; the dedup known-set below still reads
@@ -917,15 +1120,25 @@ class Crawler:
             and self._next_round_bound <= cfg.small_round_threshold
         )
         if small:
-            batch_schema = batch.schema
-            batch_rows = batch.collect()
+            # Round-trip next_fetch_ts as epoch MICROS, not TimestampType:
+            # Row conversion goes through the Python driver's LOCAL timezone
+            # (fromInternal/toInternal), and spark.sql.session.timeZone=UTC
+            # does not pin the driver process TZ — on a DST-observing host a
+            # ts in the fold-back hour could shift an hour and silently
+            # diverge engine-vs-simulator. Integer micros are exact.
+            batch_long = batch.withColumn(
+                "next_fetch_ts", F.unix_micros(F.col("next_fetch_ts"))
+            )
+            batch_schema = batch_long.schema
+            batch_rows = batch_long.collect()
             tick("small_probe")
             if not batch_rows:
                 return self._finish_no_batch(k, t_start, cached, current)
-            # collect→createDataFrame round-trips next_fetch_ts exactly:
-            # both directions convert through the driver's local tz (and
-            # engine sessions pin UTC), so the rebuilt rows are the batch
-            batch = spark.createDataFrame(batch_rows, schema=batch_schema)
+            batch = spark.createDataFrame(
+                batch_rows, schema=batch_schema
+            ).withColumn(
+                "next_fetch_ts", F.timestamp_micros(F.col("next_fetch_ts"))
+            )
             pages_src = pages_src.filter(
                 F.col("__pbucket").isin(
                     sorted({int(r["bucket"]) for r in batch_rows})
@@ -1129,6 +1342,9 @@ class Crawler:
             F.col("new_nft").alias("next_fetch_ts"),
             F.col("new_attempt").alias("attempt"),
             F.lit(k).cast("int").alias("round"),
+            # verdict unchanged by state transitions; only the robots-TTL
+            # refresh writes a non-null here
+            F.lit(None).cast("boolean").alias("robots_allowed"),
         )
         fut_results = pool.submit(self.t["results"].append, results_rows, {"round": k})
         fut_seen = pool.submit(
@@ -1397,8 +1613,13 @@ class Crawler:
             start = self.resume_round()
         cap = max_rounds if max_rounds is not None else self.cfg.max_rounds
         stats, empty, since_compact = [], 0, 0
+        # With robots TTL armed, robots-blocked rows (EXCLUDED from the
+        # bound) can re-enter at a future refresh, so bound 0 no longer
+        # proves drained-forever — the skip stays off and trailing rounds
+        # run out the normal empty/drained probes instead.
+        ttl_live = self.cfg.robots_ttl_rounds > 0 and self._robots_provider is not None
         for k in range(start, cap):
-            if self._next_round_bound == 0:
+            if self._next_round_bound == 0 and not ttl_live:
                 # The driver-tracked active-row bound never under-predicts
                 # (seeds − terminal-under-config + allowed discoveries), so
                 # bound 0 proves no row can ever become eligible again —

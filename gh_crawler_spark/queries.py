@@ -852,16 +852,19 @@ WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.2
 
 
 def q_td_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH candidates verified by exact Jaccard (rows-only check:
-    DuckDB has no xxhash64 for the signature stage; the verified output is a
-    subset of td_ngram_jaccard by construction and tested in pytest)."""
+    """MinHash-LSH candidates verified by exact Jaccard. Fully oracled since
+    round 5: SQL_TD_MINHASH re-runs the ENTIRE pipeline (shingles -> K-M
+    xxhash64 signature minima -> banded buckets -> candidate join -> exact
+    verify) in DuckDB on the pure-SQL XXH64 (functions/duck_xxh64.py)."""
     from gh_crawler_spark.operators.dedup_text import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
 def q_td_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only: 64 xxhash64-based sign bits)."""
+    """SimHash near-dup pairs. Oracled since round 5: SQL_TD_SIMHASH rebuilds
+    the 64 xxhash64 sign-vote bits, the pigeonhole chunk join and the
+    bit_count(xor) verify in DuckDB via the pure-SQL XXH64."""
     from gh_crawler_spark.operators.dedup_text import simhash_near_pairs
 
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
@@ -892,7 +895,9 @@ SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM ranked WHERE rk
 
 
 def q_td_lsh_ann(spark, sf_dir):
-    """LSH-bucketed ANN top-5 (rows-only: hyperplanes are xxhash64-derived)."""
+    """LSH-bucketed ANN top-5. Oracled since round 5: the hash-derived
+    hyperplanes are CONSTANTS, so SQL_TD_LSH_ANN regenerates them with the
+    pure-SQL XXH64 and replays bucket sign-bits + re-rank in DuckDB."""
     from gh_crawler_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -903,8 +908,10 @@ def q_td_lsh_ann(spark, sf_dir):
 
 
 def q_td_ivf_ann(spark, sf_dir):
-    """IVF ANN top-5 (rows-only: hash-seeded centroids; recall and the
-    nprobe=n_cells==brute-force identity are pytest-asserted)."""
+    """IVF ANN top-5 at nprobe < n_cells — the pruning path (registered
+    past-cap as td_ivf_ann_probe, rows-only; recall + file pruning are
+    pytest-asserted; the driver-recorded td_ivf_ann entry is the full-probe
+    variant whose brute-force identity makes SQL_TD_ANN a sound oracle)."""
     from gh_crawler_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -952,8 +959,9 @@ FROM documents,
 
 
 def q_x16_url_hash(spark, sf_dir):
-    """X16: xxhash64 frontier keys (rows-only: DuckDB lacks xxhash64; the
-    Python/Spark hash parity is asserted in tests/test_hashing.py)."""
+    """X16: xxhash64 frontier keys. Oracled since round 5 by SQL_X16 (the
+    pure-SQL XXH64 over the DuckDB canonical form); Python/Spark parity is
+    additionally asserted in tests/test_hashing.py."""
     from gh_crawler_spark.functions.urls import url_hash_expr
 
     d = _t(spark, sf_dir, "documents")
@@ -1451,14 +1459,392 @@ FROM events
 
 
 # --------------------------------------------------------------------------
+# consolidated suites + SQL-expressible hash-sketch oracles (round 5)
+#
+# The driver records correctness rows for only the FIRST 50 registry entries,
+# which squeezed 12 §2-operator oracles out of CORRECTNESS_r04 (round-4
+# verdict item #2). Two moves close that: (a) per-row scalar trivia merges
+# into SUITE queries — one row per source table, one column per operator, so
+# the value-hash still verifies each op exactly; (b) the hash-sketch entries
+# gain REAL DuckDB oracles via functions/duck_xxh64.py (XXH64 as pure SQL —
+# verdict item #3), so nothing needs a rows-only waiver to sit in the window.
+# The original fine-grained entries remain registered PAST the cap for
+# bench.py timings and tools/check_oracles.py.
+# --------------------------------------------------------------------------
+
+from gh_crawler_spark.functions.duck_xxh64 import (
+    XXH64_MACROS,
+    xxh64_int_stages,
+    xxh64_str_stages,
+)
+
+
+def q_x_scalar_suite(spark, sf_dir):
+    """Events-table scalar-extraction suite: one column per operator —
+    X2 safe-int (k_value), X3 k-suffix (parsed), X8 extract-all (refs),
+    X10 embedded JSON (k_json), X13 timestamp round-trip (iso, roundtrip),
+    X15 duration format (duration). Same expressions as the individual
+    entries (kept past the cap); the hash compare verifies each column."""
+    ev = _t(spark, sf_dir, "events")
+    sec = (F.col("event_id") % 7200).cast("double")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    s3 = F.concat(F.round(F.col("value"), 1).cast("string"), F.lit("k"))
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.regexp_replace("props", "[ ,]", ""), r"(\d+)", 1)
+        .cast("long").alias("k_value"),
+        F.round(F.regexp_extract(s3, r"([\d.]+)k", 1).cast("double") * 1000)
+        .cast("long").alias("parsed"),
+        F.array_join(F.regexp_extract_all(F.col("props"), F.lit(r"(\d+)"), 1), ",")
+        .alias("refs"),
+        F.from_json("props", "k INT").getField("k").alias("k_json"),
+        iso.alias("iso"),
+        F.date_format(
+            F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        ).alias("roundtrip"),
+        F.when(sec < 60, F.concat(sec.cast("int").cast("string"), F.lit(" seconds")))
+        .when(sec < 3600, F.concat(F.round(sec / 60, 1).cast("string"), F.lit(" minutes")))
+        .otherwise(F.concat(F.round(sec / 3600, 1).cast("string"), F.lit(" hours")))
+        .alias("duration"),
+    )
+
+
+SQL_X_SCALAR_SUITE = r"""
+SELECT event_id,
+       CAST(regexp_extract(regexp_replace(props, '[ ,]', '', 'g'), '(\d+)', 1) AS BIGINT) AS k_value,
+       CAST(round(CAST(regexp_extract(concat(CAST(round(value, 1) AS VARCHAR), 'k'), '([\d.]+)k', 1) AS DOUBLE) * 1000) AS BIGINT) AS parsed,
+       array_to_string(regexp_extract_all(props, '(\d+)', 1), ',') AS refs,
+       CAST(json_extract(props, '$.k') AS INT) AS k_json,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso,
+       strftime(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f'),
+                '%Y-%m-%d %H:%M:%S.%f') AS roundtrip,
+       CASE WHEN event_id % 7200 < 60
+              THEN CAST(CAST(event_id % 7200 AS INT) AS VARCHAR) || ' seconds'
+            WHEN event_id % 7200 < 3600
+              THEN CAST(round((event_id % 7200) / 60.0, 1) AS VARCHAR) || ' minutes'
+            ELSE CAST(round((event_id % 7200) / 3600.0, 1) AS VARCHAR) || ' hours'
+       END AS duration
+FROM events
+"""
+
+
+def q_x_doc_suite(spark, sf_dir):
+    """Documents-table URL/text-extraction suite: X4 entity id (url,
+    pr_number), X5 canonicalize (canonical_url), X6 url->filename (fname),
+    X7 registrable domain (regdom), X9 SHA extract (sha, valid), X11
+    content cleaning (cleaned), X12 title cleanup (title3), X14 state
+    classify (probe_text, state), X16 frontier hash (url_hash — oracled by
+    the pure-SQL XXH64 in functions/duck_xxh64.py)."""
+    from gh_crawler_spark.functions.urls import url_hash_expr
+
+    d = _t(spark, sf_dir, "documents")
+    x4url = F.concat(
+        F.lit("https://git.example/"), F.col("source"),
+        F.lit("/pull/"), F.col("doc_id").cast("string"), F.lit("?tab=files"),
+    )
+    canon = canonicalize_url_expr(F.expr(_URL_SPARK))
+    prose = F.concat(F.lit("commit "), F.md5("text"), F.lit(" fixed the build"))
+    sha = F.regexp_extract(prose, r"\b([0-9a-f]{32})\b", 1)
+    dirty = F.concat(
+        F.lit("Skip to content\nSign in to comment\n"), F.col("text"),
+        F.lit("\nLoading\nWrite Preview"),
+    )
+    ui = r"(?i)(skip to content|sign in to comment|write preview|^loading$)"
+    probe = F.concat(
+        F.lit("Status: "),
+        F.when(F.col("doc_id") % 4 == 0, "was merged into main")
+        .when(F.col("doc_id") % 4 == 1, "closed this as not planned")
+        .when(F.col("doc_id") % 4 == 2, "wants to merge 3 commits")
+        .otherwise("opened this issue"),
+    )
+    return d.select(
+        "doc_id",
+        x4url.alias("url"),
+        F.regexp_extract(x4url, r"/pull/(\d+)", 1).cast("long").alias("pr_number"),
+        canon.alias("canonical_url"),
+        F.regexp_replace(
+            F.regexp_replace(F.expr(_URL_SPARK), "^https?://", ""), "/", "_"
+        ).alias("fname"),
+        registrable_domain_expr(
+            F.concat(F.lower("source"), F.lit(".docs.example.co.uk"))
+        ).alias("regdom"),
+        sha.alias("sha"),
+        ((F.length(sha) == 32) & sha.rlike("^[0-9a-f]+$")).alias("valid"),
+        F.trim(
+            F.regexp_replace(F.regexp_replace(dirty, ui, ""), r"\s+", " ")
+        ).alias("cleaned"),
+        F.trim(F.substring_index("text", " ", 3)).alias("title3"),
+        probe.alias("probe_text"),
+        F.when(probe.contains("was merged"), "merged")
+        .when(probe.contains("closed this"), "closed")
+        .otherwise("open")
+        .alias("state"),
+        url_hash_expr(canon).alias("url_hash"),
+    )
+
+
+_X_DOC_KEEP = ("doc_id, url, pr_number, canonical_url, fname, regdom, sha, "
+               "valid, cleaned, title3, probe_text, state")
+_X_DOC_INNER = rf"""
+SELECT doc_id,
+       'https://git.example/' || source || '/pull/' || CAST(doc_id AS VARCHAR) || '?tab=files' AS url,
+       CAST(regexp_extract('https://git.example/' || source || '/pull/' || CAST(doc_id AS VARCHAR) || '?tab=files',
+                           '/pull/(\d+)', 1) AS BIGINT) AS pr_number,
+       {_canon_duck(f'({_URL_DUCK})')} AS canonical_url,
+       replace(regexp_replace(({_URL_DUCK}), '^https?://', ''), '/', '_') AS fname,
+       'example.co.uk' AS regdom,
+       regexp_extract('commit ' || md5(text) || ' fixed the build', '\b([0-9a-f]{{32}})\b', 1) AS sha,
+       (length(regexp_extract('commit ' || md5(text) || ' fixed the build', '\b([0-9a-f]{{32}})\b', 1)) = 32
+        AND regexp_matches(regexp_extract('commit ' || md5(text) || ' fixed the build', '\b([0-9a-f]{{32}})\b', 1), '^[0-9a-f]+$')) AS valid,
+       trim(regexp_replace(
+         regexp_replace('Skip to content' || chr(10) || 'Sign in to comment' || chr(10) || text || chr(10) || 'Loading' || chr(10) || 'Write Preview',
+                        '(?i)(skip to content|sign in to comment|write preview|^loading$)', '', 'g'),
+         '\s+', ' ', 'g')) AS cleaned,
+       trim(CASE WHEN length(text) - length(replace(text, ' ', '')) >= 3
+            THEN split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2) || ' ' || split_part(text, ' ', 3)
+            ELSE text END) AS title3,
+       'Status: ' || CASE WHEN doc_id % 4 = 0 THEN 'was merged into main'
+                          WHEN doc_id % 4 = 1 THEN 'closed this as not planned'
+                          WHEN doc_id % 4 = 2 THEN 'wants to merge 3 commits'
+                          ELSE 'opened this issue' END AS probe_text,
+       CASE WHEN doc_id % 4 = 0 THEN 'merged'
+            WHEN doc_id % 4 = 1 THEN 'closed' ELSE 'open' END AS state
+FROM documents
+"""
+
+SQL_X_DOC_SUITE = XXH64_MACROS + xxh64_str_stages(
+    _X_DOC_INNER, "canonical_url", "url_hash", keep=_X_DOC_KEEP
+)
+
+
+def q_u_set_ops(spark, sf_dir):
+    """U2+U3 combined set-operations entry: the U2 union-distinct seen-set
+    summary and the U3 exceptAll remaining-work rows in one tagged relation
+    (op, k) — U3 keeps row-level granularity; U2's two scalars become two
+    tagged rows."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    u2 = (
+        o.select(F.col("o_orderkey").alias("k"))
+        .unionByName(li.select(F.col("l_orderkey").alias("k")))
+        .distinct()
+        .agg(F.count("*").alias("n_distinct"), F.sum("k").alias("sum_k"))
+    )
+    u2rows = u2.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("u2_n_distinct").alias("op"), F.col("n_distinct").alias("k")),
+                F.struct(F.lit("u2_sum").alias("op"), F.col("sum_k").alias("k")),
+            )
+        ).alias("r")
+    ).select("r.op", "r.k")
+    u3rows = (
+        c.select("c_custkey")
+        .exceptAll(o.select(F.col("o_custkey").alias("c_custkey")).distinct())
+        .select(F.lit("u3_except").alias("op"), F.col("c_custkey").alias("k"))
+    )
+    return u2rows.unionByName(u3rows)
+
+
+SQL_U_SET_OPS = """
+SELECT 'u2_n_distinct' AS op, CAST(count(*) AS BIGINT) AS k
+FROM (SELECT o_orderkey AS k FROM orders UNION SELECT l_orderkey AS k FROM lineitem)
+UNION ALL
+SELECT 'u2_sum' AS op, CAST(sum(k) AS BIGINT) AS k
+FROM (SELECT o_orderkey AS k FROM orders UNION SELECT l_orderkey AS k FROM lineitem)
+UNION ALL
+SELECT 'u3_except' AS op, k FROM (
+  SELECT c_custkey AS k FROM customer
+  EXCEPT ALL
+  SELECT DISTINCT o_custkey AS k FROM orders)
+"""
+
+
+# X16 standalone oracle (also covered as x_doc_suite.url_hash): the frontier
+# key F.xxhash64(canonical_url) against the staged pure-SQL XXH64.
+SQL_X16 = XXH64_MACROS + xxh64_str_stages(
+    f"SELECT doc_id, {_canon_duck(f'({_URL_DUCK})')} AS __cu FROM documents",
+    "__cu", "url_hash", keep="doc_id",
+)
+
+
+# ---- td_minhash_lsh oracle -------------------------------------------------
+# Reproduces operators/dedup_text.py::minhash_lsh_pairs end-to-end in SQL:
+# distinct word-3-gram shingles; Kirsch-Mitzenmacher h1/h2 from
+# xxhash64(shingle) and the CHAINED xxhash64(shingle, lit(1)) (Spark hashes
+# multi-column input by seeding each column's hash with the previous — the
+# int 1 is hashed over its 4 LE bytes with seed = hash(shingle); parity
+# pytest: tests/test_hashing.py::test_two_arg_chain); 32 signature minima;
+# 8 bands of 4 re-hashed via xxhash64 of the comma-joined band slice;
+# band-bucket candidate pairs; exact-Jaccard verification at the engine's
+# ROUNDED threshold compare.
+_MH_SHINGLES = rf"""
+toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+dsh AS (SELECT DISTINCT s FROM sh)
+"""
+
+SQL_TD_MINHASH = (
+    XXH64_MACROS
+    + f"WITH {_MH_SHINGLES},\n"
+    + "h1t AS ("
+    + xxh64_str_stages("SELECT s FROM dsh", "s", "u1", keep="s", signed=False)
+    + "),\nh2t AS ("
+    + xxh64_int_stages("SELECT s, u1 FROM h1t", 1, "u2", keep="s, u1",
+                       seed_expr="u1", signed=False)
+    + """),
+hh AS (SELECT s, (u1 % 4294967296)::BIGINT AS h1, (u2 % 4294967296)::BIGINT AS h2 FROM h2t),
+sigs AS (
+  SELECT sh.doc_id, i.i AS i, min(hh.h1 + i.i * hh.h2) AS g
+  FROM sh JOIN hh ON sh.s = hh.s
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS i) i
+  GROUP BY sh.doc_id, i.i),
+sigl AS (SELECT doc_id, list(g ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         array_to_string(sig[4*b.b+1 : 4*b.b+4], ',') AS bstr
+  FROM sigl CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b),
+bh AS ("""
+    + xxh64_str_stages("SELECT doc_id, band, bstr FROM bands", "bstr", "bhash",
+                       keep="doc_id, band", signed=False)
+    + """),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bh a JOIN bh b
+           ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+common AS (SELECT c.d1, c.d2, count(*) AS common
+           FROM cand c
+           JOIN sh x ON x.doc_id = c.d1
+           JOIN sh y ON y.doc_id = c.d2 AND y.s = x.s
+           GROUP BY c.d1, c.d2)
+SELECT d1, d2, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.2
+"""
+)
+
+
+# ---- td_simhash oracle -------------------------------------------------
+# operators/dedup_text.py::simhash_near_pairs in SQL: per-token (with
+# multiplicity) xxhash64 sign votes over 64 bits, packed signature, the
+# d+1=4-chunk pigeonhole candidate join, bit_count(xor) verification.
+SQL_TD_SIMHASH = (
+    XXH64_MACROS
+    + f"""
+WITH toks AS (SELECT doc_id, unnest({_D_TOKS}) AS t FROM documents),
+dt AS (SELECT DISTINCT t FROM toks),
+ht AS ("""
+    + xxh64_str_stages("SELECT t FROM dt", "t", "ut", keep="t", signed=False)
+    + """),
+tok_h AS (SELECT toks.doc_id, ht.ut FROM toks JOIN ht ON toks.t = ht.t),
+votes AS (
+  SELECT doc_id, i.i AS i,
+         sum(CASE WHEN (ut // (1::HUGEINT << i.i)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok_h CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+  GROUP BY doc_id, i.i),
+sigu AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)::HUGEINT AS us
+  FROM votes GROUP BY doc_id),
+sig AS (SELECT doc_id, xx_signed(us) AS simhash, us FROM sigu),
+chunks AS (
+  SELECT doc_id, simhash, c.c AS chunk_id,
+         ((us // (1::HUGEINT << (16 * c.c))) % 65536)::BIGINT AS cv
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                a.simhash AS s1, b.simhash AS s2
+         FROM chunks a JOIN chunks b
+           ON a.chunk_id = b.chunk_id AND a.cv = b.cv AND a.doc_id < b.doc_id)
+SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+"""
+)
+
+
+# ---- td_lsh_ann oracle -------------------------------------------------
+# operators/similarity.py::lsh_topk in SQL. The hyperplanes are themselves
+# xxhash64-derived constants (pmod(hash('plane:<id>:<j>'), 20000) - 10000)
+# / 1e4, so with the SQL XXH64 the planes, bucket sign bits, candidate
+# equi-join and exact re-rank are all oracle-expressible. The bucket dot
+# product folds LEFT in index order exactly like the engine's
+# F.aggregate(zip_with(...)) (list_reduce starts from element 1, and IEEE
+# (0.0 + x) == x), so the sign bits match bit-for-bit.
+SQL_TD_LSH_ANN = (
+    XXH64_MACROS
+    + """
+WITH pl AS (
+  SELECT t.t AS tbl, p.p AS p, j.j AS j,
+         'plane:' || CAST(t.t*8 + p.p AS VARCHAR) || ':' || CAST(j.j AS VARCHAR) AS ps
+  FROM (SELECT unnest(range(0, 2)) AS t) t
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS p) p
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+ph AS ("""
+    + xxh64_str_stages("SELECT tbl, p, j, ps FROM pl", "ps", "hs", keep="tbl, p, j")
+    + """),
+planes AS (
+  SELECT tbl, p, list((((hs % 20000) + 20000) % 20000 - 10000) / 10000.0 ORDER BY j) AS pv
+  FROM ph GROUP BY tbl, p),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dots AS (
+  SELECT e.vec_id, pl.tbl, pl.p,
+         list_reduce(list_transform(range(1, 65), k -> e.v[k] * pl.pv[k]), (a, b) -> a + b) AS d
+  FROM e CROSS JOIN planes pl),
+buckets AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, tbl),
+qb AS (SELECT b.vec_id AS query_id, b.tbl, b.bucket, e.v AS qv
+       FROM buckets b JOIN e ON e.vec_id = b.vec_id WHERE b.vec_id < 5),
+cb AS (SELECT b.vec_id AS neighbor_id, b.tbl, b.bucket, e.v AS cv
+       FROM buckets b JOIN e ON e.vec_id = b.vec_id),
+cand AS (
+  SELECT query_id, neighbor_id, any_value(qv) AS qv, any_value(cv) AS cv
+  FROM cb JOIN qb USING (tbl, bucket)
+  WHERE neighbor_id != query_id
+  GROUP BY query_id, neighbor_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM cand),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5
+"""
+)
+
+
+def q_td_ivf_ann_full(spark, sf_dir):
+    """IVF ANN at nprobe = n_cells (full probe): every stage of the inverted
+    file runs — hash-seeded centroids, Lloyd refinement, cell assignment,
+    probe ranking — and the result is PROVABLY the exact brute-force top-k
+    (tests/test_similarity.py asserts the identity), so the brute-force SQL
+    is a sound oracle. The nprobe < n_cells pruning path is pytest-gated
+    (recall floor + file-level pruning assertions)."""
+    from gh_crawler_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=8, nprobe=8)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
 # ORDER MATTERS: the per-round driver records correctness rows for only the
-# FIRST 50 entries. The first block therefore holds every operator family's
-# flagship (all F/J/A/W/L/T plus the strongest X/U/td representatives); the
-# second block holds sibling/variant entries — still verified by
-# tools/check_oracles.py, just past the driver's recording cap.
+# FIRST 50 entries. The first block is exactly 50 entries and covers every
+# registry-checkable SURVEY §2 operator plus the full training-data family —
+# per-row scalar trivia rides in two SUITE entries (one column per operator,
+# so the value-hash still verifies each op), and every hash-sketch entry has
+# a real DuckDB oracle via the pure-SQL XXH64 (functions/duck_xxh64.py).
+# The second block keeps the fine-grained per-operator entries for bench.py
+# timings and tools/check_oracles.py — identical expressions, same oracles.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- filters -----------------------------------------------------------
     "f1_priority_filter": (q_f1_priority_filter, SQL_F1),
@@ -1470,7 +1856,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # --- joins -------------------------------------------------------------
     "j1_seen_anti_join": (q_j1_seen_anti_join, SQL_J1),
     "j2_remaining_work": (q_j2_remaining_work, SQL_J2),
-    "j4b_nested_embed": (q_j4b_nested_embed, SQL_J4B),
+    "j4_hash_equi_join": (q_j4_hash_equi_join, SQL_J4),
     "j5_lead_join": (q_j5_lead_join, SQL_J5),
     "j6_selector_rank_dedup": (q_j6_selector_rank_dedup, SQL_J6),
     "j8_short_sha_join": (q_j8_short_sha_join, SQL_J8),
@@ -1494,49 +1880,51 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "l2_global_topk": (q_l2_global_topk, SQL_L2),
     "l3_truncation": (q_l3_truncation, SQL_L3),
     "u1_union_dedup": (q_u1_union_dedup, SQL_U1),
-    # --- extraction --------------------------------------------------------
-    "x4_entity_id": (q_x4_entity_id, SQL_X4),
-    "x5_canonicalize": (q_x5_canonicalize, SQL_X5),
-    "x7_registrable_domain": (q_x7_registrable_domain, SQL_X7),
-    "x9_sha_extract": (q_x9_sha_extract, SQL_X9),
+    "u_set_ops": (q_u_set_ops, SQL_U_SET_OPS),
+    # --- extraction (suites cover X2-X16 scalars; X10-deep is its own) ------
+    "x_scalar_suite": (q_x_scalar_suite, SQL_X_SCALAR_SUITE),
+    "x_doc_suite": (q_x_doc_suite, SQL_X_DOC_SUITE),
     "x10b_embedded_timeline": (q_x10b_embedded_timeline, SQL_X10B),
-    "x11_content_cleaning": (q_x11_content_cleaning, SQL_X11),
-    "x14_state_classify": (q_x14_state_classify, SQL_X14),
     # --- temporal/politeness + flagship pipeline ---------------------------
     "t2_backoff_schedule": (q_t2_backoff_schedule, SQL_T2),
     "t5_failure_ttl": (q_t5_failure_ttl, SQL_T5),
     "t10_staleness": (q_t10_staleness, SQL_T10),
     "frontier_pipeline": (q_frontier_pipeline, SQL_FRONTIER),
-    # --- training-data pipeline flagships ----------------------------------
+    # --- training-data pipeline --------------------------------------------
     "td_text_analysis": (q_td_text_analysis, SQL_TD_TEXT),
     "td_dedup_exact": (q_td_dedup_exact, SQL_TD_DEDUP_EXACT),
+    "td_ngram_jaccard": (q_td_ngram_jaccard, SQL_TD_JACCARD),
     "td_ngram_jaccard_pruned": (q_td_ngram_jaccard_pruned, SQL_TD_JACCARD_PRUNED),
     "td_cc_groups": (q_td_cc_groups, SQL_TD_CC),
+    "td_minhash_lsh": (q_td_minhash_lsh, SQL_TD_MINHASH),
+    "td_simhash": (q_td_simhash, SQL_TD_SIMHASH),
     "td_ann_cosine": (q_td_ann_cosine, SQL_TD_ANN),
+    "td_lsh_ann": (q_td_lsh_ann, SQL_TD_LSH_ANN),
+    "td_ivf_ann": (q_td_ivf_ann_full, SQL_TD_ANN),
     "td_media_meta": (q_td_media_meta, SQL_TD_MEDIA),
     "td_frame_sample": (q_td_frame_sample, SQL_TD_FRAMES),
-    # sketch-family flagships inside the driver's 50-entry recording cap
-    # (rows-only: no SQL oracle exists for MinHash/IVF — each is
-    # pytest-asserted: LSH candidate ⊇ true pairs + recall ≥ 0.9,
-    # IVF recall + exact-at-full-probe; see tests/test_dedup_text.py,
-    # tests/test_similarity.py)
-    "td_minhash_lsh": (q_td_minhash_lsh, None),
-    "td_ivf_ann": (q_td_ivf_ann, None),
     # ===== entries below are PAST the driver's 50-entry recording cap ======
-    # (siblings/variants of the flagships above; oracled via check_oracles)
+    # (the fine-grained per-operator forms of the suite columns above, plus
+    # true variants; all still verified by tools/check_oracles.py)
+    "j4b_nested_embed": (q_j4b_nested_embed, SQL_J4B),
     "x2_extract_int": (q_x2_extract_int, SQL_X2),
-    "x12_split_cleanup": (q_x12_split_cleanup, SQL_X12),
-    "j4_hash_equi_join": (q_j4_hash_equi_join, SQL_J4),
     "x3_k_suffix": (q_x3_k_suffix, SQL_X3),
+    "x4_entity_id": (q_x4_entity_id, SQL_X4),
+    "x5_canonicalize": (q_x5_canonicalize, SQL_X5),
+    "x6_url_to_filename": (q_x6_url_to_filename, SQL_X6),
+    "x7_registrable_domain": (q_x7_registrable_domain, SQL_X7),
+    "x8_ref_extract": (q_x8_ref_extract, SQL_X8),
+    "x9_sha_extract": (q_x9_sha_extract, SQL_X9),
+    "x10_embedded_json": (q_x10_embedded_json, SQL_X10),
+    "x11_content_cleaning": (q_x11_content_cleaning, SQL_X11),
+    "x12_split_cleanup": (q_x12_split_cleanup, SQL_X12),
     "x13_timestamp_roundtrip": (q_x13_timestamp_roundtrip, SQL_X13),
+    "x14_state_classify": (q_x14_state_classify, SQL_X14),
+    "x15_duration_format": (q_x15_duration_format, SQL_X15),
+    "x16_url_hash": (q_x16_url_hash, SQL_X16),
     "u2_union_seen_sets": (q_u2_union_seen_sets, SQL_U2),
     "u3_except": (q_u3_except, SQL_U3),
-    "x6_url_to_filename": (q_x6_url_to_filename, SQL_X6),
-    "x8_ref_extract": (q_x8_ref_extract, SQL_X8),
-    "x10_embedded_json": (q_x10_embedded_json, SQL_X10),
-    "x15_duration_format": (q_x15_duration_format, SQL_X15),
-    "x16_url_hash": (q_x16_url_hash, None),
-    "td_ngram_jaccard": (q_td_ngram_jaccard, SQL_TD_JACCARD),
-    "td_simhash": (q_td_simhash, None),
-    "td_lsh_ann": (q_td_lsh_ann, None),
+    # nprobe < n_cells IVF (the pruning path the driver-recorded full-probe
+    # entry can't show; recall + file-pruning pytest-gated, rows-only here)
+    "td_ivf_ann_probe": (q_td_ivf_ann, None),
 }

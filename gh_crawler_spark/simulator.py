@@ -88,11 +88,14 @@ class SimCrawler:
 
     def __init__(self, cfg: CrawlConfig, pages: dict[str, bytes],
                  robots: dict[str, tuple[str, int]] | None = None,
-                 budget_overrides: dict[str, int] | None = None):
+                 budget_overrides: dict[str, int] | None = None,
+                 robots_provider=None):
         self.cfg = cfg
         self.pages = {xxhash64_py(u): (u, h) for u, h in pages.items()}
         self.robots = robots or {}
         self.budget_overrides = budget_overrides or {}  # W2 mirror
+        # robots TTL mirror: ``(round_k) -> dict`` like the engine's provider
+        self.robots_provider = robots_provider
         self.frontier: dict[int, _Entry] = {}
         self.hosts: dict[str, _Host] = {}
         self.seen: set[int] = set()
@@ -155,6 +158,24 @@ class SimCrawler:
     def run_round(self, k: int, transient_fn) -> dict:
         cfg, now = self.cfg, self.now(k)
         nxt = self.now(k + 1)
+        # 0. robots TTL mirror (crawler.py _refresh_robots, same round
+        # boundary, BEFORE eligibility): swap the rules dict; existing hosts
+        # whose rules TEXT changed re-parse (rates stay as first fetched,
+        # exactly like the engine, which re-verdicts but never re-rates)
+        if (
+            cfg.robots_ttl_rounds > 0
+            and k > 0
+            and k % cfg.robots_ttl_rounds == 0
+            and self.robots_provider is not None
+        ):
+            new = self.robots_provider(k)
+            if new is not None:
+                self.robots = new
+                for dom, h in self.hosts.items():
+                    rules = new.get(dom, ("", 100))[0]
+                    if rules != h.robots:
+                        h.robots = rules
+                        h._parser = None
         # 1-3. eligibility + robots + token budget + deterministic rank
         # (T5/T10 mirror: expired failures / stale fetched rows re-enter —
         # their next_fetch_ts carries the due time, stamped at transition)

@@ -159,6 +159,8 @@ def run_foreach_batch_crawl(spark, pages_stream: DataFrame, crawler, checkpoint_
     crawler's corpus view and a crawl round executes per micro-batch (rounds
     == micro-batches; engine tables are the state store)."""
 
+    state = {"next_round": None}
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         # new pages become frontier seeds for the next round
         seeds = batch_df.select(
@@ -168,7 +170,22 @@ def run_foreach_batch_crawl(spark, pages_stream: DataFrame, crawler, checkpoint_
         # fresh root: the rounds table has no snapshot yet (read() raises)
         if not rounds_t.exists() or rounds_t.read(spark).count() == 0:
             crawler.init_frontier(seeds)
-        crawler.run_round(int(batch_id))
+            state["next_round"] = 0
+        elif state["next_round"] is None:
+            # Restarted stream: the crawler object is fresh, so its
+            # driver-tracked state (_trans_rows broadcast hint, active-row
+            # bound, Bloom) is at constructor defaults — e.g. _trans_rows=0
+            # would force-broadcast an arbitrarily large transitions delta
+            # (round-4 ADVICE, medium). resume_round() rolls tables back to
+            # the last completed round, rebuilds all of it exactly as the
+            # batch CLI resume path does, and returns the next round number
+            # — which also fixes round NUMBERING across restarts (batch ids
+            # restart from 0 under a fresh checkpoint; rounds must not).
+            # Paid once per (re)started query, not per micro-batch.
+            state["next_round"] = crawler.resume_round()
+        k = state["next_round"]
+        crawler.run_round(k)
+        state["next_round"] = k + 1
 
     return (
         pages_stream.writeStream.foreachBatch(handle)

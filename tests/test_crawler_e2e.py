@@ -588,3 +588,103 @@ def test_snapshot_expiry_bounds_manifests_and_resume_survives(spark, corpus, bas
     resumed = Crawler(spark, cfg, pages, robots)
     resumed.run(seeds=None)
     assert _crawl_outcome(spark, resumed) == baseline
+
+
+def test_robots_ttl_flip_matches_simulator(spark, corpus, tmp_path):
+    """Robots TTL (round-5): a domain whose robots flips disallow-all ->
+    original rules mid-crawl is admitted only after the TTL re-fetch, and
+    the engine agrees with the executable spec fetch-for-fetch (the
+    CLAUDE.md invariant: scheduling changes mirror into simulator.py)."""
+    import dataclasses
+
+    from gh_crawler_spark.functions.urls import registrable_domain_py
+    from gh_crawler_spark.sources.pages import HOT_DOMAIN
+
+    pages, seeds, robots = corpus
+    block = "User-agent: *\nDisallow: /"
+    robots_v1 = robots.withColumn(
+        "robots_rules",
+        F.when(F.col("registrable_domain") == HOT_DOMAIN, F.lit(block))
+        .otherwise(F.col("robots_rules")),
+    )
+    cfg = dataclasses.replace(
+        _cfg(tmp_path / "rttl"), robots_ttl_rounds=3, empty_rounds_stop=4
+    )
+    c = Crawler(spark, cfg, pages, robots_v1, robots_provider=lambda k: robots)
+    c.run(seeds=seeds)
+    fetch_sets, seen = _crawl_outcome(spark, c)
+
+    sim_pages = {
+        canonicalize_url_py(r["url"]): bytes(r["html"])
+        for r in pages.select("url", "html").collect()
+    }
+    sim_robots = {
+        r["registrable_domain"]: (r["robots_rules"], r["crawl_delay_ms"])
+        for r in robots.collect()
+    }
+    sim_robots_v1 = dict(sim_robots)
+    sim_robots_v1[HOT_DOMAIN] = (block, sim_robots.get(HOT_DOMAIN, ("", 100))[1])
+    sim = SimCrawler(
+        dataclasses.replace(cfg, root=str(tmp_path / "rttlsim")),
+        sim_pages, sim_robots_v1, robots_provider=lambda k: sim_robots,
+    )
+    sim.seed([(r["url"], r["priority"]) for r in seeds.collect()])
+    sim.run(transient_fn=lambda url, att: xxhash64_py(url + str(att)) % FAIL_MOD == 0)
+    assert seen == sim.seen
+    assert fetch_sets == set(sim.fetch_log)
+    # the flip is OBSERVABLE: hot-domain URLs were fetched, and none before
+    # the first TTL refresh at round 3
+    hot_hashes = {
+        xxhash64_py(canonicalize_url_py(r["url"]))
+        for r in pages.select("url").collect()
+        if registrable_domain_py(
+            canonicalize_url_py(r["url"]).split("://", 1)[1].split("/", 1)[0]
+        ) == HOT_DOMAIN
+    }
+    hot_rounds = [rnd for rnd, uh in fetch_sets if uh in hot_hashes]
+    assert hot_rounds, "flip never admitted the blocked domain"
+    assert min(hot_rounds) >= 3
+
+
+def test_robots_ttl_noop_when_rules_unchanged(spark, corpus, baseline, tmp_path):
+    """A TTL refresh whose provider returns the SAME rules is outcome-
+    identical to no TTL at all (the diff short-circuits; no transitions
+    are appended for unchanged domains)."""
+    import dataclasses
+
+    pages, seeds, robots = corpus
+    cfg = dataclasses.replace(_cfg(tmp_path / "rnoop"), robots_ttl_rounds=2)
+    c = Crawler(spark, cfg, pages, robots, robots_provider=lambda k: robots)
+    c.run(seeds=seeds)
+    assert _crawl_outcome(spark, c) == baseline
+    trans = c.t["transitions"].read(spark)
+    assert trans.filter(F.col("robots_allowed").isNotNull()).count() == 0
+
+
+def test_round_walls_do_not_trend_up_over_30_rounds(spark, corpus, tmp_path):
+    """O(lifetime) regression guard (round-4 verdict item #7): in a 30-round
+    steady-state crawl (short staleness keeps every URL re-entering, so no
+    round drains) the rolling MEDIAN of round wall-times must not grow —
+    median-of-window asserts, never per-round, to ride out the documented
+    ~±15% host-noise band (a monotone manifest/delta leak would show as the
+    late-window median escaping a generous 2x of the early window)."""
+    import dataclasses
+    import statistics
+
+    pages, seeds, robots = corpus
+    cfg = dataclasses.replace(
+        _cfg(tmp_path / "trend"),
+        max_rounds=30,
+        staleness_s=30.0,          # re-crawl due every (virtual) round
+        empty_rounds_stop=30,      # never stop on empties
+        transient_fail_mod=0,      # pure steady-state fetch load
+    )
+    c = Crawler(spark, cfg, pages, robots)
+    stats = c.run(seeds=seeds, max_rounds=30)
+    walls = [s["wall_ms"] for s in stats if not s.get("drained")]
+    assert len(walls) >= 24, f"steady-state crawl ended early: {len(walls)} rounds"
+    early = statistics.median(walls[4:14])   # skip warmup rounds 0-3
+    late = statistics.median(walls[-10:])
+    assert late <= 2.0 * max(early, 1), (
+        f"round walls trend up: early median {early} ms, late median {late} ms"
+    )

@@ -122,3 +122,27 @@ def test_lazy_refill_equals_iterated_refill():
         assert abs(iterated - single) < 1e-6 * max(1.0, cap)
 
     check()
+
+
+# ---------------------------------------------------------------- F3 config
+# regex common-subset validation (escape-/class-aware since round 5: the raw
+# substring scan falsely rejected escaped constructs — round-4 ADVICE)
+
+def test_regex_subset_scan_accepts_common_subset():
+    import pytest
+
+    from gh_crawler_spark.crawler import CrawlConfig
+
+    for ok in (r"a\++", r"a&&b", r"a*?", r"a+?", r"a??", r"[+*]+", r"a\*+",
+               r"[&]&", r"/pull/(\d+)"):
+        CrawlConfig(root="/tmp/x", link_shape=ok)  # must not raise
+
+
+def test_regex_subset_scan_rejects_java_only():
+    import pytest
+
+    from gh_crawler_spark.crawler import CrawlConfig
+
+    for bad in (r"a++", r"a*+", r"a?+", r"a{2,3}+", r"[a&&b]", r"a\h", r"a\v"):
+        with pytest.raises(ValueError):
+            CrawlConfig(root="/tmp/x", link_shape=bad)

@@ -180,3 +180,50 @@ def test_foreach_batch_crawl_rounds_follow_microbatches(spark, drop_dir, tmp_pat
     # the batch's pages were seeded and fetched (subject to politeness)
     assert c.t["results"].read(spark).count() > 0
     q.stop()
+
+
+def test_foreach_batch_crawl_restart_resumes_driver_state(spark, drop_dir, tmp_path):
+    """Restarted stream over an existing warehouse (round-4 ADVICE, medium):
+    the first micro-batch must route through resume_round so the fresh
+    crawler's driver-tracked state is real — _trans_rows reflects the actual
+    transitions delta (the broadcast hint is no longer force-armed at the
+    constructor default 0), the Bloom and active-row bound are rebuilt, and
+    the next round lands after the last completed one."""
+    from gh_crawler_spark.crawler import Crawler, CrawlConfig
+    from gh_crawler_spark.sources.pages import generate_pages
+    from gh_crawler_spark.streaming.stream import run_foreach_batch_crawl
+
+    pages = generate_pages(spark, 120, seed=5, n_domains=20)
+    root = str(tmp_path / "fbr")
+    # tiny per-domain token capacity: the first micro-batch round leaves
+    # eligible rows behind, so the restarted round has real work to commit
+    cfg = CrawlConfig(root=root, n_buckets=4, max_rounds=5,
+                      token_capacity_s=0.2)
+    c1 = Crawler(spark, cfg, pages)
+    q = run_foreach_batch_crawl(spark, stream_src(spark, drop_dir), c1,
+                                str(tmp_path / "ck_a")).start()
+    q.awaitTermination(180)
+    q.stop()
+    n_trans = c1.t["transitions"].read(spark).count()
+
+    # restart: FRESH crawler over the same root, new checkpoint dir so the
+    # drop directory is re-delivered as a new micro-batch
+    c2 = Crawler(spark, cfg, pages)
+    assert c2._trans_rows == 0 and c2._bloom is None  # constructor defaults
+    q2 = run_foreach_batch_crawl(spark, stream_src(spark, drop_dir), c2,
+                                 str(tmp_path / "ck_b")).start()
+    q2.awaitTermination(180)
+    q2.stop()
+    # resume_round ran before the round: real delta count (+ the new round's
+    # own appended transitions), bound/Bloom rebuilt, round numbering moved on
+    assert c2._trans_rows >= n_trans
+    assert c2._bloom is not None
+    assert c2._next_round_bound is not None
+    rounds = sorted(r["round"] for r in c2.t["rounds"].read(spark).collect())
+    # round numbering continues after the last completed round even though
+    # the fresh checkpoint re-delivers batch_id 0
+    assert rounds == [0, 1]
+
+
+def stream_src(spark, drop_dir):
+    return spark.readStream.schema(PAGES_SCHEMA).parquet(drop_dir)
