@@ -16,11 +16,13 @@ min-of-legs protocol at 2→8 cores (the honest multi-node proxy on this box;
 8→32 hits the single-box memory-bandwidth wall, see BENCH.md) — and recorded
 in BENCH.md.
 
-PROTOCOL (the ``protocol`` field in the JSON): ``r5-wavepack-80g`` as of
+PROTOCOL (the ``protocol`` field in the JSON): ``r5-serialcut-80g`` as of
 round 5 — r4's steady-state warmup + 80 g driver heap, on the engine with
-8×-parallelism fetch/parse wave-packing (crawler._pages_parts). Headline
-numbers under different protocol tags are NOT engine-apples-to-apples (the
-r3→r4 delta is protocol+engine, see BENCH.md).
+8×-parallelism fetch/parse wave-packing (crawler._pages_parts) PLUS the
+round-5 serial-floor cuts (race-free ordered stats actions, lineage-truncated
+round materializations). Headline numbers under different protocol tags are
+NOT engine-apples-to-apples (the r3→r4 delta is protocol+engine, see
+BENCH.md).
 """
 
 from __future__ import annotations
@@ -197,7 +199,7 @@ def main() -> None:
                 "unit": "urls/sec",
                 # measurement-protocol tag (see module docstring): headline
                 # values only compare engine-apples-to-apples within one tag
-                "protocol": "r5-wavepack-80g",
+                "protocol": "r5-serialcut-80g",
                 "queries": queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "crawl": crawl,

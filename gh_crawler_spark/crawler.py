@@ -39,6 +39,8 @@ URLs (reference k=3, ``src/aggressive_pr_scraper.py:302``) or the round cap
 from __future__ import annotations
 
 import datetime as dt
+import os
+import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -239,6 +241,20 @@ class CrawlConfig:
     # crawler re-fetches robots.txt periodically; the reference never does
     # (robots is an engine addition per the north rule).
     robots_ttl_rounds: int = 0
+    # Truncate the lineage of round-local materializations (localCheckpoint
+    # instead of persist). The round builds 5 cached frames whose consumers
+    # (appends, host fold, transition rows, discovery) otherwise each carry
+    # the FULL logical tree back through the effective-frontier window —
+    # round-5 event-log profile measured 5.4 s + 3.7 s driver gaps in ONE
+    # tail round that were pure plan construction + re-analysis of those
+    # trees (py4j chatter scales with tree size too). With truncation every
+    # consumer plans against a flat LogicalRDD. Blocks are freed
+    # deterministically at round end via a persistent-RDD-id diff (the
+    # historical GC-pressure objection to localCheckpoint). Safe because
+    # every stage is deterministic by construction; on executor loss a
+    # truncated block cannot be recomputed, so a multi-node deployment that
+    # expects preemption should flip this off (persist keeps full lineage).
+    truncate_lineage: bool = True
 
     def __post_init__(self) -> None:
         # F3 regex subset validation (see the comment above link_shape):
@@ -451,6 +467,9 @@ class Crawler:
         # Incrementally-maintained URL-seen Bloom (built once past
         # bloom_min_keys, then add_np per round; reset on init/resume)
         self._bloom = None
+        # pre-round pinned-RDD snapshot for _release_round_blocks (set at
+        # each run_round start when truncate_lineage is on)
+        self._round_base_rdd_ids: set[int] | None = None
 
     def _empty_bloom(self):
         cfg = self.cfg
@@ -977,14 +996,35 @@ class Crawler:
             "missing": 0, "links": 0, "new": 0, "wall_ms": wall_ms,
         }
 
+    def _persistent_rdd_ids(self) -> set[int]:
+        """Ids of every RDD currently pinned in the block manager (includes
+        localCheckpoint blocks, which DataFrame.unpersist cannot reach)."""
+        jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    def _release_round_blocks(self, cached: list) -> None:
+        """Free the round's cached working set. Persisted frames unpersist
+        directly; truncated (localCheckpoint) frames are freed by diffing
+        persistent RDD ids against the snapshot taken at round start — the
+        deterministic release that makes lineage truncation memory-safe
+        across long crawls. Long-lived caches (the fetch index, resume-time
+        reads) predate the round and are never in the diff."""
+        for df in cached:
+            df.unpersist(blocking=False)
+        if self.cfg.truncate_lineage and self._round_base_rdd_ids is not None:
+            jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
+            for key in jmap.keySet().toArray():
+                if int(key) not in self._round_base_rdd_ids:
+                    jmap.get(key).unpersist(False)
+            self._round_base_rdd_ids = None
+
     def _finish_no_batch(self, k: int, t_start: float, cached: list,
                          current: DataFrame) -> dict:
         """Nothing scheduled this round: release the round's persisted
         working set, probe whether ANY row can ever become eligible again
         (A10 drained fast path — the caller stops immediately and skips the
         bookkeeping commit), else record an empty round."""
-        for df in cached:
-            df.unpersist(blocking=False)
+        self._release_round_blocks(cached)
         drained = current.filter(self._active_state_pred()).limit(1).count() == 0
         if drained:
             wall_ms = int((time.monotonic() - t_start) * 1000)
@@ -997,8 +1037,6 @@ class Crawler:
 
     # ----------------------------------------------------------------- round
     def run_round(self, k: int) -> dict:
-        import os
-
         cfg, spark = self.cfg, self.spark
         now = self.now(k)
         now_lit = F.lit(now)
@@ -1006,6 +1044,11 @@ class Crawler:
         prof: dict[str, float] = {}
         _last = [t_start]
         cached: list = []
+        # snapshot of pre-round pinned RDDs: _release_round_blocks frees
+        # exactly what this round checkpoints, nothing else
+        self._round_base_rdd_ids = (
+            self._persistent_rdd_ids() if cfg.truncate_lineage else None
+        )
 
         def tick(stage: str) -> None:
             t = time.monotonic()
@@ -1013,12 +1056,24 @@ class Crawler:
             _last[0] = t
 
         def materialize(df: DataFrame) -> DataFrame:
-            """Persist + force; released at round end. (localCheckpoint blocks
-            are only freed by GC — across many rounds they pile up and cause
-            erratic JVM memory pressure; explicit persist/unpersist keeps the
-            round's working set bounded. Safe without lineage truncation
-            because every stage is deterministic by construction.)"""
-            df = df.persist()
+            """Cache a round-local frame; released at round end.
+
+            truncate_lineage=True (default): lazy localCheckpoint — the data
+            is cached exactly like persist, but every downstream consumer
+            plans against a flat LogicalRDD instead of re-carrying (and
+            re-analyzing, and re-shipping over py4j) the full logical tree
+            through the effective-frontier window. Blocks are freed
+            deterministically at round end via the persistent-RDD-id diff in
+            _release_round_blocks, so the historical objection (checkpoint
+            blocks freed only by GC -> erratic JVM memory pressure across
+            many rounds) no longer applies.
+
+            truncate_lineage=False: plain persist/unpersist — full lineage
+            kept for recompute-on-executor-loss deployments."""
+            if cfg.truncate_lineage:
+                df = df.localCheckpoint(eager=False)
+            else:
+                df = df.persist()
             cached.append(df)
             return df
 
@@ -1234,18 +1289,31 @@ class Crawler:
         )
         flagged = materialize(flag_maybe_seen(links, self._bloom, spark))
 
-        # One STATS action per round for every driver-side number (round-2
-        # verdict #1): the scheduled-batch count, the per-status fetch
-        # counts, and the Bloom-suspect bucket list come back as one tagged
-        # union — one job launch instead of three. It runs over the
-        # force-cached fetch output (count() above) so its branches scan
-        # cache instead of racing to materialize it, and it force-caches
-        # `flagged` for the downstream discovery stage.
+        # TWO ordered stats actions per round (was one 3-branch union; round-5
+        # event-log profile): with the branches fused, AQE submits the
+        # independent shuffle stages CONCURRENTLY and the cheap counter
+        # branches race the heavy links chain for the same uncached `fetched`
+        # partitions — the losers hold task slots blocked on the BlockManager
+        # per-block lock (profiled: a 15.5 s stage wall carrying 4.5 core-s
+        # of work). Ordered actions keep every input of action 2 already
+        # cached by action 1, so nothing ever blocks:
+        #   1. the heavy chain alone — fetch join -> parse (python) fused
+        #      with explode/shuffle -> link dedup -> Bloom flag — one LINEAR
+        #      DAG (python parse overlaps JVM shuffle work task-pipelined,
+        #      the property the round-4 A/B measured as faster), returning
+        #      only the suspect bucket list;
+        #   2. the batch count + per-status fetch counters, pure cache scans.
+        suspect_buckets = sorted(
+            int(r["bucket"])
+            for r in flagged.filter(F.col("__maybe_seen"))
+            .select(bucket_expr(F.col("url_hash"), cfg.n_buckets).alias("bucket"))
+            .distinct()
+            .collect()
+        )
         b_stat = batch.agg(F.count("*").alias("n")).select(
             F.lit("batch").alias("tag"), F.lit("").alias("fstatus"),
             F.lit(-1).cast("int").alias("pid"), F.col("n").cast("long").alias("n"),
             F.lit(0).cast("long").alias("raw_links"),
-            F.lit(-1).cast("int").alias("bucket"),
         )
         s_stat = (
             fetched.groupBy("fstatus", "pid")
@@ -1255,20 +1323,9 @@ class Crawler:
                 F.col("pid").cast("int").alias("pid"),
                 F.col("n").cast("long").alias("n"),
                 F.coalesce(F.col("raw_links"), F.lit(0)).cast("long").alias("raw_links"),
-                F.lit(-1).cast("int").alias("bucket"),
             )
         )
-        u_stat = (
-            flagged.filter(F.col("__maybe_seen"))
-            .select(bucket_expr(F.col("url_hash"), cfg.n_buckets).alias("bucket"))
-            .distinct()
-            .select(
-                F.lit("suspect").alias("tag"), F.lit("").alias("fstatus"),
-                F.lit(-1).cast("int").alias("pid"), F.lit(0).cast("long").alias("n"),
-                F.lit(0).cast("long").alias("raw_links"), "bucket",
-            )
-        )
-        stat_rows = b_stat.unionByName(s_stat).unionByName(u_stat).collect()
+        stat_rows = b_stat.unionByName(s_stat).collect()
         tick("sched_fetch_probe")
         n_batch = sum(r["n"] for r in stat_rows if r["tag"] == "batch")
         if n_batch == 0:
@@ -1278,9 +1335,6 @@ class Crawler:
             # will; resume replays the same empty round)
             return self._finish_no_batch(k, t_start, cached, current)
         stage_rows = [r for r in stat_rows if r["tag"] == "stage"]
-        suspect_buckets = sorted(
-            int(r["bucket"]) for r in stat_rows if r["tag"] == "suspect"
-        )
         n_ok = sum(r["n"] for r in stage_rows if r["fstatus"] == "fetched")
         n_raw_links = sum(r["raw_links"] or 0 for r in stage_rows if r["fstatus"] == "fetched")
         n_transient = sum(r["n"] for r in stage_rows if r["fstatus"] == "transient")
@@ -1564,8 +1618,7 @@ class Crawler:
             ROUNDS_SCHEMA,
             {"round": k},
         )
-        for df in cached:
-            df.unpersist(blocking=False)
+        self._release_round_blocks(cached)
         self._known_count += n_new
         # exactly one transition row per scheduled URL was appended
         self._trans_rows += int(n_batch)
@@ -1618,7 +1671,11 @@ class Crawler:
             log=None) -> list[dict]:
         """Run (or resume) the crawl to convergence; returns round stats."""
         if seeds is not None:
+            t_i = time.monotonic()
             self.init_frontier(seeds)
+            if os.environ.get("SPARK_GRAFT_PROFILE"):
+                print(f"  [prof] init_frontier {time.monotonic() - t_i:.2f}s",
+                      file=sys.stderr)
             start = 0
         else:
             start = self.resume_round()
@@ -1676,5 +1733,9 @@ class Crawler:
                         t.expire_snapshots(keep_last=self.cfg.expire_snapshots_keep)
         # fold the transitions delta into the frontier so readers see final
         # states without replaying the delta (resume-safe: rollback restores)
+        t_c = time.monotonic()
         self.compact()
+        if os.environ.get("SPARK_GRAFT_PROFILE"):
+            print(f"  [prof] final compact {time.monotonic() - t_c:.2f}s",
+                  file=sys.stderr)
         return stats

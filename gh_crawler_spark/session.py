@@ -9,6 +9,7 @@ than the 200 default.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
@@ -46,8 +47,25 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    for k, v in (extra_conf or {}).items():
+    # Diagnostic overrides (event logging for gap profiling, etc.) without
+    # touching call sites: SPARK_GRAFT_EXTRA_CONF='{"spark.eventLog.enabled":
+    # "true", ...}'. Explicit extra_conf from the caller wins.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    merged = dict(json.loads(env_conf)) if env_conf else {}
+    merged.update(extra_conf or {})
+    for k, v in merged.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # Releasing a round's localCheckpoint blocks (crawler.truncate_lineage)
+        # warns "lineage has been truncated and cannot be recomputed" once per
+        # RDD — intentional (the round is over; nothing recomputes), so keep
+        # the per-round noise out of WARN-level logs.
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd", jvm.org.apache.logging.log4j.Level.ERROR
+        )
+    except Exception:
+        pass  # diagnostic nicety only; any log4j API drift is non-fatal
     return spark

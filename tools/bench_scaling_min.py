@@ -33,7 +33,7 @@ STATE = "/tmp/scaling_min_state.json"
 # a min-of-legs table never mixes legs from different engines — "min of the
 # best legs ever" across engine versions would overstate whichever side
 # happened to get more attempts on the fastest build.
-PROTO = "r5-wavepack"
+PROTO = "r5-serialcut"
 
 
 def _load_state() -> dict:
