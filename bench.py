@@ -126,6 +126,8 @@ def run_crawl(spark, cpus: int) -> dict:
         round_duration_s=600.0,      # not the virtual clock, is the limiter
         bloom_min_keys=10_000,
         empty_rounds_stop=1,         # bench corpus has no retries pending
+        # A/B knob for the round-5 lineage-truncation path (default on)
+        truncate_lineage=os.environ.get("SPARK_GRAFT_TRUNCATE", "1") != "0",
     )
     c = Crawler(spark, cfg, pages, robots)
     # Steady-state warmup (untimed, documented in BENCH.md): the session's
