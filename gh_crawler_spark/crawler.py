@@ -470,6 +470,10 @@ class Crawler:
         # pre-round pinned-RDD snapshot for _release_round_blocks (set at
         # each run_round start when truncate_lineage is on)
         self._round_base_rdd_ids: set[int] | None = None
+        # the fetch-index cache has been physically materialized (so its RDD
+        # id is registered and can never be mistaken for a round-local block
+        # by the release diff — see run_round's pre-snapshot force)
+        self._pages_idx_forced = False
 
     def _empty_bloom(self):
         cfg = self.cfg
@@ -487,6 +491,7 @@ class Crawler:
     def init_frontier(self, seeds: DataFrame) -> None:
         """Seeds -> canonical frontier rows; bootstrap all engine tables."""
         cfg, now0 = self.cfg, self.now(0)
+        self.spark.sparkContext.setJobDescription("init_frontier")
         self._prev_round_empty = False
         canon = canonicalize_url_expr(F.col("url"))
         fr = (
@@ -690,6 +695,7 @@ class Crawler:
         flipping failure_ttl_s/staleness_s on an existing warehouse, one
         compact() re-admits newly-eligible archived rows."""
         cfg = self.cfg
+        self.spark.sparkContext.setJobDescription("compact")
         trans = self.t["transitions"].read(self.spark)
         frontier = self.t["frontier"].read(self.spark)
         merged = self._effective_frontier(frontier, trans).select(
@@ -1037,23 +1043,52 @@ class Crawler:
 
     # ----------------------------------------------------------------- round
     def run_round(self, k: int) -> dict:
+        cached: list = []
+        if self.cfg.truncate_lineage and not self._pages_idx_forced:
+            # ADVICE r5 (medium): persist() registers its RDD id only at
+            # first PHYSICAL execution — if the long-lived fetch-index cache
+            # first materializes inside this round's fetch join, the
+            # round-end persistent-RDD-id diff would classify it as
+            # round-local and silently unpersist it, recomputing the corpus
+            # pipeline on every later round's scan (crawl.py / e2e entry
+            # points; bench.py pre-forces it with a count). Materialize it
+            # BEFORE the base snapshot, once per crawler — a cache-only scan
+            # when a caller already forced it.
+            self.pages_idx.count()
+            self._pages_idx_forced = True
+        # snapshot of pre-round pinned RDDs: _release_round_blocks frees
+        # exactly what this round checkpoints, nothing else
+        self._round_base_rdd_ids = (
+            self._persistent_rdd_ids() if self.cfg.truncate_lineage else None
+        )
+        try:
+            return self._run_round_impl(k, cached)
+        except BaseException:
+            # ADVICE r5 (low): without this, an exception mid-round leaks the
+            # round's localCheckpoint blocks — and the NEXT round's base
+            # snapshot would adopt the leaked ids as pre-existing, so they
+            # would never be deterministically freed (only by JVM GC, the
+            # erratic-memory failure mode the diff mechanism prevents).
+            self._release_round_blocks(cached)
+            raise
+
+    def _run_round_impl(self, k: int, cached: list) -> dict:
         cfg, spark = self.cfg, self.spark
         now = self.now(k)
         now_lit = F.lit(now)
         t_start = time.monotonic()
         prof: dict[str, float] = {}
         _last = [t_start]
-        cached: list = []
-        # snapshot of pre-round pinned RDDs: _release_round_blocks frees
-        # exactly what this round checkpoints, nothing else
-        self._round_base_rdd_ids = (
-            self._persistent_rdd_ids() if cfg.truncate_lineage else None
-        )
 
         def tick(stage: str) -> None:
             t = time.monotonic()
             prof[stage] = round(t - _last[0], 2)
             _last[0] = t
+
+        def jd(name: str) -> None:
+            # label jobs per crawl phase (thread-local, so the commit pool
+            # labels its own) — makes event-log/gap attribution readable
+            spark.sparkContext.setJobDescription(f"r{k}:{name}")
 
         def materialize(df: DataFrame) -> DataFrame:
             """Cache a round-local frame; released at round end.
@@ -1099,6 +1134,7 @@ class Crawler:
         # eligibility join, the touched-host fold, and the new-domain
         # anti-join all reuse the persisted result instead of re-running
         # the split-read plan three times
+        jd("eligibility")
         host_state = materialize(self._read_host_state())
 
         # 1-2. eligibility + politeness gates (latest-wins over the delta) --
@@ -1194,6 +1230,7 @@ class Crawler:
                 "next_fetch_ts", F.unix_micros(F.col("next_fetch_ts"))
             )
             batch_schema = batch_long.schema
+            jd("small_probe")
             batch_rows = batch_long.collect()
             tick("small_probe")
             if not batch_rows:
@@ -1303,6 +1340,7 @@ class Crawler:
         #      the property the round-4 A/B measured as faster), returning
         #      only the suspect bucket list;
         #   2. the batch count + per-status fetch counters, pure cache scans.
+        jd("fetch_parse_dedup_probe")
         suspect_buckets = sorted(
             int(r["bucket"])
             for r in flagged.filter(F.col("__maybe_seen"))
@@ -1325,6 +1363,7 @@ class Crawler:
                 F.coalesce(F.col("raw_links"), F.lit(0)).cast("long").alias("raw_links"),
             )
         )
+        jd("stats")
         stat_rows = b_stat.unionByName(s_stat).collect()
         tick("sched_fetch_probe")
         n_batch = sum(r["n"] for r in stat_rows if r["tag"] == "batch")
@@ -1341,16 +1380,34 @@ class Crawler:
         n_missing = n_batch - n_ok - n_transient
         pool = ThreadPoolExecutor(max_workers=6)
 
+        def submit(name, fn, *args):
+            # job descriptions are thread-local: label inside the pool thread
+            def run():
+                jd(name)
+                return fn(*args)
+            return pool.submit(run)
+
         # Results/seen appends depend only on `ok` (already checkpointed):
         # start them NOW in background threads so the write overlaps the
         # discovery stage. Spark schedules concurrent jobs fairly; each
         # SnapshotTable commit is independent and atomic, and the rounds row
         # (the resume barrier) is written only after every future resolves.
+        # Delta appends inherit the cached fetch stage's partitioning (256
+        # map partitions at the bench shape) and wrote one TINY file each —
+        # every later read of the table then paid a per-file open/stat cost
+        # (and, before the session threshold fix, a distributed listing JOB:
+        # 948 listed paths for the transitions delta by round 3, seconds per
+        # round in the r6 event-log profile). The row counts are already on
+        # the driver from the stats action, so size the file count from them
+        # (guide §6: output files in the 100 MB-1 GB band): ~15 KB/page row
+        # -> 16k rows/file ≈ 250 MB; ~50 B/transition row -> 4M rows/file.
+        n_results_files = max(1, int(n_ok) // 16_384 + 1)
+        n_trans_files = max(1, int(n_batch) // 4_000_000 + 1)
         results_rows = ok.select(
             "url", "url_hash", "warc_ts",
             F.lit("fetched").alias("status"), "text", "lang",
             F.lit(k).cast("int").alias("round"),
-        )
+        ).coalesce(n_results_files)
         seen_rows = ok.select("url_hash", "bucket", F.lit(now).alias("crawl_ts"))
         # Pin both known-side snapshots BEFORE the background seen append is
         # submitted: the round's discovery reads a fixed file list and is
@@ -1410,12 +1467,12 @@ class Crawler:
             # verdict unchanged by state transitions; only the robots-TTL
             # refresh writes a non-null here
             F.lit(None).cast("boolean").alias("robots_allowed"),
+        ).coalesce(n_trans_files)
+        fut_results = submit("commit:results", self.t["results"].append, results_rows, {"round": k})
+        fut_seen = submit(
+            "commit:seen", self.t["seen"].append, seen_rows, {"round": k}, "bucket"
         )
-        fut_results = pool.submit(self.t["results"].append, results_rows, {"round": k})
-        fut_seen = pool.submit(
-            self.t["seen"].append, seen_rows, {"round": k}, "bucket"
-        )
-        fut_trans = pool.submit(self.t["transitions"].append, trans_rows, {"round": k})
+        fut_trans = submit("commit:transitions", self.t["transitions"].append, trans_rows, {"round": k})
         fut_entities = None
         if cfg.extract_entities:
             # nested per-page entities: parse the embedded payload with an
@@ -1454,9 +1511,9 @@ class Crawler:
                     issue["state"].alias("state"),
                     comments.alias("comments"),
                 ).alias("issue"),
-            )
-            fut_entities = pool.submit(
-                self.t["entities"].append, entities_rows, {"round": k}
+            ).coalesce(n_results_files)
+            fut_entities = submit(
+                "commit:entities", self.t["entities"].append, entities_rows, {"round": k}
             )
 
         # 6. discovery: out-links -> new frontier rows ---------------------
@@ -1474,6 +1531,7 @@ class Crawler:
         # links + probe verdicts were cached and their suspect buckets
         # collected inside the combined stats action above — discovery here
         # is just the exact backstop over the pruned known-key files
+        jd("discover")
         fresh = resolve_unseen(flagged, known_loader, suspect_buckets)
         new_rows = (
             fresh.withColumn("bucket", bucket_expr(F.col("url_hash"), cfg.n_buckets))
@@ -1554,21 +1612,24 @@ class Crawler:
         new_domains = new_rows.select("registrable_domain").distinct().join(
             host_state.select("registrable_domain"), "registrable_domain", "left_anti"
         )
+        # one ~100 B row per touched/new domain: a single file per round
+        # keeps the per-round host_state latest-wins read O(few files)
+        # (bounded by n_batch domains; see the delta-file sizing note above)
         hs_delta = hs_touched.select(*self.HOST_COLS).unionByName(
             self._new_host_rows(new_domains, asof_round=k)
-        )
+        ).coalesce(max(1, int(n_batch) // 4_000_000 + 1))
 
         # ------------------------------------------------- commits (S7/T6)
         tick("plan_updates")
         # bucketed append: keeps EVERY frontier file prunable by the
         # known_loader backstop (an unpartitioned append would be
         # conservatively re-read for every suspect bucket)
-        fut_frontier = pool.submit(
-            self.t["frontier"].append, new_rows, {"round": k}, "bucket"
+        fut_frontier = submit(
+            "commit:frontier", self.t["frontier"].append, new_rows, {"round": k}, "bucket"
         )
         # host_state delta append is independent of every other commit — run
         # it in the pool too so the commit barrier is max(), not sum()
-        fut_host = pool.submit(self.t["host_state"].append, hs_delta, {"round": k})
+        fut_host = submit("commit:host_state", self.t["host_state"].append, hs_delta, {"round": k})
         host_snap = fut_host.result()
         frontier_snap = fut_frontier.result()
         transitions_snap = fut_trans.result()

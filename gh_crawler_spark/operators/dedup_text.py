@@ -107,20 +107,44 @@ def ngram_jaccard_pairs(
     # tokenize+shingle scan runs exactly once. Without it each join side
     # recomputes the shingling (measured 4× slower at sf0.1).
     sh = shingles_df(docs, k, text_col, with_size=True).repartition(F.col("shingle"))
-    if max_shingle_doc_freq is not None:
-        # one extra agg + semi-join on shingle kills the quadratic hot keys;
-        # per-doc sizes must be recounted over the PRUNED sets (consistent
-        # numerator/denominator), so this path pays one sizes aggregation
-        freq_ok = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_doc_freq)
-            .select("shingle")
+    if max_shingle_doc_freq is None:
+        return _jaccard_pairs(sh, threshold)
+    # one extra agg + semi-join on shingle kills the quadratic hot keys; both
+    # reuse the shingle exchange (same key), so no extra string shuffle.
+    freq_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_doc_freq)
+        .select("shingle")
+    )
+    kept = sh.drop("n_sh").join(freq_ok, "shingle", "left_semi")
+    # Per-doc sizes must be recounted over the PRUNED sets (consistent
+    # numerator/denominator). They used to be joined back onto every shingle
+    # row BEFORE the self-join — one full exchange of the string rows by
+    # doc_id plus its SMJ sorts, just to carry two ints. Instead aggregate
+    # the sizes to one int row per doc and attach n1/n2 AFTER the (d1,d2)
+    # pair aggregation: the heavy strings now cross the network exactly once
+    # (guide §8: decide with small rows), and AQE broadcasts the tiny sizes
+    # side at runtime (explicit hints measured slower here in round 3).
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = kept.alias("a"), kept.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        sh = sh.drop("n_sh").join(freq_ok, "shingle", "left_semi")
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        sh = sh.join(sizes, "doc_id")
-    return _jaccard_pairs(sh, threshold)
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("common"))
+        .join(sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2")), "d2")
+    )
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
 
 
 def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
@@ -146,21 +170,38 @@ def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _minhash_min_exprs(n_hashes: int) -> list:
-    """min-aggregate expressions for the n_hashes MinHash functions.
+def _with_minhash_bases(sh: DataFrame) -> DataFrame:
+    """Project the two Kirsch-Mitzenmacher base hashes ONCE per shingle row.
 
-    Kirsch-Mitzenmacher double hashing: two real string hashes h1, h2 per
-    shingle, then g_i = h1 + i·h2 — the standard trick that preserves
-    MinHash's guarantees while doing 2 string hashes + n integer mults
-    instead of n string hashes per shingle (the signature aggregation
-    dominates the LSH pipeline at corpus scale). Both hashes are masked to
-    32 bits so g_i fits a long under ANSI arithmetic (no wraparound allowed);
-    a 2^32 hash space is ample for per-document shingle minima, and band
-    collisions are verified exactly downstream anyway."""
+    K-M double hashing: two real string hashes h1, h2 per shingle, then
+    g_i = h1 + i·h2 — the standard trick that preserves MinHash's guarantees
+    while doing 2 string hashes + n integer mults instead of n string hashes
+    per shingle (the signature aggregation dominates the LSH pipeline at
+    corpus scale). Both hashes are masked to 32 bits so g_i fits a long under
+    ANSI arithmetic (no wraparound allowed); a 2^32 hash space is ample for
+    per-document shingle minima, and band collisions are verified exactly
+    downstream anyway.
+
+    A dedicated projection (rather than the hash subtrees repeated inside
+    every min-aggregate) keeps the aggregate's generated code tiny: the old
+    form inlined 2 xxhash64 subtrees into each of the 32 aggregate
+    expressions, and the resulting whole-stage-codegen unit took ~25-30 s of
+    Janino compilation on first execution (measured round 6; the dominant
+    cost of td_minhash_lsh at sandbox scale)."""
     mask = F.lit((1 << 32) - 1)
-    h1 = F.xxhash64(F.col("shingle")).bitwiseAND(mask)
-    h2 = F.xxhash64(F.col("shingle"), F.lit(1)).bitwiseAND(mask)
-    return [F.min(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(n_hashes)]
+    return sh.select(
+        "*",
+        F.xxhash64(F.col("shingle")).bitwiseAND(mask).alias("__h1"),
+        F.xxhash64(F.col("shingle"), F.lit(1)).bitwiseAND(mask).alias("__h2"),
+    )
+
+
+def _minhash_min_exprs(n_hashes: int) -> list:
+    """min-aggregate expressions over the projected K-M base hashes."""
+    return [
+        F.min(F.col("__h1") + F.lit(i) * F.col("__h2")).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -168,7 +209,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>): sig[i] = min over shingles of the i-th
     derived hash. All built-in exprs — no UDF."""
-    sh = shingles_df(docs, k, text_col)
+    sh = _with_minhash_bases(shingles_df(docs, k, text_col))
     agg = sh.groupBy("doc_id").agg(*_minhash_min_exprs(n_hashes))
     return agg.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
 
@@ -193,7 +234,8 @@ def minhash_lsh_pairs(
     # groupBy (same key) and by the candidate semi-join below.
     sh = shingles_df(docs, k, text_col, with_size=True).repartition(F.col("doc_id"))
     sig = (
-        sh.groupBy("doc_id")
+        _with_minhash_bases(sh)
+        .groupBy("doc_id")
         .agg(*_minhash_min_exprs(n_hashes))
         .select("doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
     )

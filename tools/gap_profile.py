@@ -77,11 +77,6 @@ def main(path: str, slots: int) -> None:
         else:
             merged.append([j["start"], j["end"]])
     gaps = []
-    for (a, b), j in zip(
-        ((merged[i][1], merged[i + 1][0]) for i in range(len(merged) - 1)),
-        (j for j in done if True),
-    ):
-        pass
     prev_end = merged[0][1]
     for seg in merged[1:]:
         if seg[0] > prev_end:
