@@ -101,12 +101,20 @@ def ngram_jaccard_pairs(
     Note the cap changes semantics — Jaccard is then computed over the pruned
     shingle sets on both the numerator and denominator, consistently.
     """
-    # The explicit repartition on the join key is load-bearing: it creates ONE
-    # exchange that every downstream consumer (both self-join sides, the
-    # doc-freq agg) reuses via Spark's ReuseExchange, so the expensive
-    # tokenize+shingle scan runs exactly once. Without it each join side
-    # recomputes the shingling (measured 4× slower at sf0.1).
-    sh = shingles_df(docs, k, text_col, with_size=True).repartition(F.col("shingle"))
+    # ONE materialization of the inverted index, partitioned on the join key
+    # (localCheckpoint: every consumer — both self-join sides, the doc-freq
+    # agg, the sizes agg — plans against the flat materialized result). The
+    # r3-era bare repartition relied on ReuseExchange to pin one shingling
+    # pass, but per-consumer column pruning makes the exchange subtrees
+    # non-identical: the round-6 plan dump showed SIXTEEN copies of the
+    # scan+tokenize+shingle pipeline in td_ngram_jaccard_pruned's initial
+    # plan. An explicitly materialized intermediate that k consumers reuse
+    # is the guide §5 caching case (reused AND expensive to recompute).
+    sh = (
+        shingles_df(docs, k, text_col, with_size=True)
+        .repartition(F.col("shingle"))
+        .localCheckpoint(eager=True)
+    )
     if max_shingle_doc_freq is None:
         return _jaccard_pairs(sh, threshold)
     # one extra agg + semi-join on shingle kills the quadratic hot keys; both
@@ -230,9 +238,16 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     # One shingling pass serves BOTH the signature aggregation and the
-    # verification stage: the repartition(doc_id) exchange is reused by the
-    # groupBy (same key) and by the candidate semi-join below.
-    sh = shingles_df(docs, k, text_col, with_size=True).repartition(F.col("doc_id"))
+    # verification stage. localCheckpoint, not a bare repartition: per-
+    # consumer column pruning defeats ReuseExchange (the round-6 plan dump
+    # showed 24 copies of the scan+shingle pipeline in this query's initial
+    # plan); the materialized index is read by the groupBy and by the
+    # candidate semi-join below.
+    sh = (
+        shingles_df(docs, k, text_col, with_size=True)
+        .repartition(F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
     sig = (
         _with_minhash_bases(sh)
         .groupBy("doc_id")
@@ -270,6 +285,9 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
+        # referenced three times below (cand_docs d1 + d2, the verify join):
+        # materialize the (small, LSH-bounded) candidate set once
+        .localCheckpoint(eager=True)
     )
     # Verify candidates with exact Jaccard computed ONLY for candidate pairs:
     # expand each pair by d1's shingles, then equi-join d2's shingles on
@@ -378,7 +396,10 @@ def simhash_near_pairs(
     (chunk_id, chunk_value), then are verified with bit_count(xor)."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sig = simhash_signatures(docs, text_col)
+    # both self-join sides reference the signature pipeline; materialize it
+    # once (1 short row per doc) instead of re-running the token explode +
+    # 64-vote aggregation per side
+    sig = simhash_signatures(docs, text_col).localCheckpoint(eager=True)
     chunks = sig.select(
         "doc_id",
         "simhash",

@@ -30,6 +30,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread an unsplittable small scan over the cores before per-row-HEAVY
+    work (tokenize/shingle/Arrow decode). The sandbox parquet tables are
+    single-file/single-row-group, so a tokenize-class operator otherwise runs
+    its whole map stage as ONE task (guide §2.5: unsplittable input —
+    repartition immediately after the read). Gated on the scan's partition
+    count so a real multi-file corpus never pays the extra shuffle. Applied
+    only to heavy-map queries: for projection-only queries the extra
+    exchange+stage measurably COSTS on the cold single-shot path (A/B:
+    frontier_pipeline 8.8 s vs 2.6 s cold) while buying nothing — their
+    per-row work is tiny next to stage overhead. Round-robin order is
+    irrelevant to results: the driver compares under canonical row ordering,
+    and no spread consumer does an order-sensitive float aggregation."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 # A reproducible URL column synthesized from documents (with canonicalization
 # traps), so URL operators have an oracle-able fixture (FIXTURES.md §5).
 _URL_SPARK = (
@@ -796,7 +815,7 @@ def q_td_text_analysis(spark, sf_dir):
     fingerprint — one projection over documents (operators/textops.py)."""
     from gh_crawler_spark.operators.textops import analyze_documents
 
-    return analyze_documents(_t(spark, sf_dir, "documents"))
+    return analyze_documents(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 SQL_TD_TEXT = f"""
@@ -819,7 +838,7 @@ def q_td_dedup_exact(spark, sf_dir):
     """Exact dedup groups by normalized-text fingerprint."""
     from gh_crawler_spark.operators.dedup_text import dedup_exact
 
-    return dedup_exact(_t(spark, sf_dir, "documents"))
+    return dedup_exact(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 SQL_TD_DEDUP_EXACT = r"""
@@ -834,7 +853,7 @@ def q_td_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (the dedup verifier stage)."""
     from gh_crawler_spark.operators.dedup_text import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2)
+    return ngram_jaccard_pairs(_spread(spark, _t(spark, sf_dir, "documents")), k=3, threshold=0.2)
 
 
 SQL_TD_JACCARD = rf"""
@@ -858,7 +877,7 @@ def q_td_minhash_lsh(spark, sf_dir):
     verify) in DuckDB on the pure-SQL XXH64 (functions/duck_xxh64.py)."""
     from gh_crawler_spark.operators.dedup_text import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return minhash_lsh_pairs(_spread(spark, _t(spark, sf_dir, "documents")), threshold=0.2)
 
 
 def q_td_simhash(spark, sf_dir):
@@ -867,7 +886,7 @@ def q_td_simhash(spark, sf_dir):
     bit_count(xor) verify in DuckDB via the pure-SQL XXH64."""
     from gh_crawler_spark.operators.dedup_text import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_near_pairs(_spread(spark, _t(spark, sf_dir, "documents")), max_hamming=3)
 
 
 def q_td_ann_cosine(spark, sf_dir):
@@ -925,7 +944,7 @@ def q_td_media_meta(spark, sf_dir):
     (deterministic fake decode; formula mirrored in the SQL oracle)."""
     from gh_crawler_spark.operators.multimodal import as_media_table, extract_media_meta
 
-    media = as_media_table(_t(spark, sf_dir, "documents"))
+    media = as_media_table(_spread(spark, _t(spark, sf_dir, "documents")))
     return extract_media_meta(media, deterministic_fake=True)
 
 
@@ -1327,7 +1346,8 @@ def q_td_ngram_jaccard_pruned(spark, sf_dir):
     from gh_crawler_spark.operators.dedup_text import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.2, max_shingle_doc_freq=20
+        _spread(spark, _t(spark, sf_dir, "documents")), k=3, threshold=0.2,
+        max_shingle_doc_freq=20,
     )
 
 

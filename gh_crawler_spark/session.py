@@ -107,12 +107,15 @@ def get_spark(
     _prefork_python_workers(spark)
     try:
         # Releasing a round's localCheckpoint blocks (crawler.truncate_lineage)
-        # warns "lineage has been truncated and cannot be recomputed" once per
-        # RDD — intentional (the round is over; nothing recomputes), so keep
-        # the per-round noise out of WARN-level logs.
+        # warns "... was locally checkpointed, its lineage has been truncated"
+        # once per RDD — intentional (the round is over; nothing recomputes),
+        # so keep the per-round noise out of WARN-level logs. Scoped to the
+        # emitting CLASS logger (org.apache.spark.rdd.RDD — verified against
+        # the spark-core jar), not the whole rdd package: checkpoint-data /
+        # block-loss warnings from sibling classes still surface (ADVICE r5).
         jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.rdd", jvm.org.apache.logging.log4j.Level.ERROR
+            "org.apache.spark.rdd.RDD", jvm.org.apache.logging.log4j.Level.ERROR
         )
     except Exception:
         pass  # diagnostic nicety only; any log4j API drift is non-fatal
