@@ -1577,16 +1577,37 @@ class Crawler:
         # only rows whose state changes beyond the lazy capped refill —
         # plus rows for newly-discovered domains; _read_host_state resolves
         # latest-wins and compact() folds the delta.)
-        per_host = batch.groupBy("registrable_domain").agg(F.count("*").alias("attempted"))
-        per_host_fail = (
-            failed_transient.groupBy("registrable_domain").agg(F.count("*").alias("round_failures"))
+        # One tagged union + one aggregation instead of three per-frame
+        # groupBys joined separately (r6: the old shape planned 9-18 little
+        # broadcast/agg jobs inside every round's host_state commit). Every
+        # ok/transient domain is by construction also a batch domain, so the
+        # single aggregate is exactly the old inner+left+left join result.
+        per_host = (
+            batch.select(
+                "registrable_domain",
+                F.lit(1).alias("__att"), F.lit(0).alias("__fail"), F.lit(0).alias("__ok"),
+            )
+            .unionByName(
+                failed_transient.select(
+                    "registrable_domain",
+                    F.lit(0).alias("__att"), F.lit(1).alias("__fail"), F.lit(0).alias("__ok"),
+                )
+            )
+            .unionByName(
+                ok.select(
+                    "registrable_domain",
+                    F.lit(0).alias("__att"), F.lit(0).alias("__fail"), F.lit(1).alias("__ok"),
+                )
+            )
+            .groupBy("registrable_domain")
+            .agg(
+                F.sum("__att").alias("attempted"),
+                F.sum("__fail").alias("round_failures"),
+                F.sum("__ok").alias("round_successes"),
+            )
         )
-        per_host_ok = ok.groupBy("registrable_domain").agg(F.count("*").alias("round_successes"))
         hs_touched = (
             host_state.join(per_host, "registrable_domain", "inner")
-            .join(per_host_fail, "registrable_domain", "left")
-            .join(per_host_ok, "registrable_domain", "left")
-            .na.fill({"round_failures": 0, "round_successes": 0})
             .withColumn(
                 "tokens",
                 F.greatest(

@@ -131,3 +131,61 @@ def test_dedup_keep_first(spark, docs):
     kept = sorted(r["doc_id"] for r in dedup_keep_first(docs, pairs).collect())
     assert 0 in kept and 1 not in kept and 2 not in kept and 3 not in kept
     assert 4 in kept and 5 in kept
+
+
+def _exact_jaccard_py(texts: dict[int, str], k: int = 3, cap: int | None = None):
+    """Reference Jaccard over distinct word-k-gram shingles (pure Python)."""
+    import re
+
+    sets = {}
+    for d, t in texts.items():
+        toks = [x for x in re.split(r"\s+", t.strip().lower()) if x != ""] if t.strip() else []
+        sets[d] = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    if cap is not None:
+        from collections import Counter
+
+        df = Counter(s for ss in sets.values() for s in ss)
+        sets = {d: {s for s in ss if df[s] <= cap} for d, ss in sets.items()}
+    out = {}
+    ids = sorted(sets)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            inter = len(sets[d1] & sets[d2])
+            union = len(sets[d1] | sets[d2])
+            if union and inter:
+                out[(d1, d2)] = round(inter / union, 4)
+    return out
+
+
+def test_pruned_jaccard_values_match_reference(spark, docs):
+    """r6 restructure (sizes attached AFTER the pair aggregation): the pruned
+    path's VALUES — not just pair membership — must equal a brute-force
+    reference on both numerator and (pruned-set) denominator."""
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for cap in (2, 100):
+        want = {p: j for p, j in _exact_jaccard_py(texts, cap=cap).items() if j >= 0.2}
+        got = {(r["d1"], r["d2"]): r["jaccard"] for r in
+               ngram_jaccard_pairs(docs, k=3, threshold=0.2,
+                                   max_shingle_doc_freq=cap).collect()}
+        assert got == want, f"cap={cap}"
+
+
+def test_dedup_plans_materialize_shingles_once(spark, docs):
+    """r6: the shingle index is localCheckpoint'ed — consumers must plan
+    against the materialized RDD, never re-expand the tokenize+shingle
+    pipeline (the pre-fix plan held 16-24 copies: per-consumer column
+    pruning defeats ReuseExchange). `array_distinct` only occurs inside the
+    shingling expression, so the final plan must not contain it at all."""
+    for df in (
+        ngram_jaccard_pairs(docs, k=3, threshold=0.2),
+        ngram_jaccard_pairs(docs, k=3, threshold=0.2, max_shingle_doc_freq=20),
+        minhash_lsh_pairs(docs, threshold=0.2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "array_distinct" not in plan
+
+    # minhash: the K-M base hashes are projected once — the signature
+    # aggregate itself must reference columns, not xxhash64 subtrees
+    # (32 min-aggs each inlining 2 hashes cost ~25-30 s of codegen)
+    sig_plan = minhash_lsh_pairs(docs, threshold=0.2)._jdf.queryExecution().executedPlan().toString()
+    assert sig_plan.count("xxhash64") <= 20  # bases + 8 band hashes, not 64
